@@ -1,0 +1,62 @@
+"""Unit tests for LWW dedup (SURVEY §2.4 J2) and union-dedup (J1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transcript_cdc.operators.dedup import lww_dedup, union_dedup
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, text string"
+    )
+
+
+def test_lww_keeps_highest_lsn(spark):
+    df = _changes(
+        spark,
+        [
+            (1, "I", "c1", 0, "v1"),
+            (5, "U", "c1", 0, "v5"),
+            (3, "U", "c1", 0, "v3"),
+            (2, "I", "c1", 1, "w2"),
+        ],
+    )
+    out = {(r.conv_id, r.turn_idx): (r.lsn, r.text) for r in lww_dedup(df).collect()}
+    assert out == {("c1", 0): (5, "v5"), ("c1", 1): (2, "w2")}
+
+
+def test_lww_keeps_last_op_not_last_values(spark):
+    # delete-then-update vs update-then-delete must differ (SURVEY §7 hard #3)
+    df = _changes(
+        spark,
+        [
+            (1, "I", "c1", 0, "a"),
+            (2, "D", "c1", 0, None),
+            (3, "U", "c1", 0, "b"),  # re-insert after delete -> survives as U
+            (4, "I", "c2", 0, "x"),
+            (5, "D", "c2", 0, None),  # last op is D -> survives as D
+        ],
+    )
+    out = {(r.conv_id, r.turn_idx): r.op for r in lww_dedup(df).collect()}
+    assert out == {("c1", 0): "U", ("c2", 0): "D"}
+
+
+def test_lww_order_robust_to_input_order(spark):
+    rows = [
+        (i, "U" if i else "I", f"c{i % 3}", i % 5, f"t{i}") for i in range(200)
+    ]
+    a = lww_dedup(_changes(spark, rows))
+    b = lww_dedup(_changes(spark, list(reversed(rows))).repartition(7))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_union_dedup_keeps_max_score(spark):
+    a = spark.createDataFrame([(1, 0.5), (2, 0.9)], "id long, score double")
+    b = spark.createDataFrame([(1, 0.8), (3, 0.1)], "id long, score double")
+    out = {
+        r.id: r.score
+        for r in union_dedup(a, b, ["id"], "score", tiebreak=F.col("id")).collect()
+    }
+    assert out == {1: 0.8, 2: 0.9, 3: 0.1}

@@ -1,0 +1,141 @@
+"""End-to-end replay oracle tests (SURVEY §5.2-3, the north_star criterion).
+
+Deterministically generate a change stream; replay through the engine in
+several configurations (single epoch, chunked epochs, kill-and-resume,
+double-apply); assert per-turn text equality against the single-threaded
+dict-replay oracle under stable (conv_id, turn_idx) ordering.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from transcript_cdc.datagen import StreamSpec, generate_events, replay_oracle, write_change_feed
+from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
+
+
+SPEC = StreamSpec(
+    n_conversations=120,
+    avg_turns=6,
+    update_ratio=0.5,
+    delete_ratio=0.12,
+    absent_delete_ratio=0.03,
+    zipf_s=1.3,
+    out_of_order_fraction=0.3,
+    evolution_at=0.55,
+    seed=7,
+    events_per_file=500,
+)
+
+
+@pytest.fixture(scope="module")
+def feed(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feed")
+    spec = SPEC
+    info = write_change_feed(spec, str(d))
+    oracle = replay_oracle(generate_events(spec), normalize=True)
+    return {"dir": str(d), "info": info, "oracle": oracle}
+
+
+def _engine_state(job: CdcIngestJob) -> pd.DataFrame:
+    pdf = job.final_state().toPandas()
+    return pdf.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+
+
+def _assert_equal(engine: pd.DataFrame, oracle: pd.DataFrame):
+    assert len(engine) == len(oracle), (len(engine), len(oracle))
+    for col in ["conv_id", "turn_idx", "role", "text", "tool", "model"]:
+        e = engine[col].where(engine[col].notna(), None).tolist()
+        o = oracle[col].where(oracle[col].notna(), None).tolist()
+        assert e == o, f"mismatch in column {col}"
+    e_tok = [None if pd.isna(x) else int(x) for x in engine["tokens"]]
+    o_tok = [None if pd.isna(x) else int(x) for x in oracle["tokens"]]
+    assert e_tok == o_tok
+    assert engine["ts"].tolist() == oracle["ts"].tolist()
+
+
+def test_single_epoch_replay_matches_oracle(spark, feed, tmp_path):
+    job = CdcIngestJob(
+        spark,
+        feed["dir"],
+        str(tmp_path / "table"),
+        IngestConfig(n_buckets=8, epoch_events=10**9),
+    )
+    results = job.run()
+    assert len(results) == 1 and results[0]["committed"]
+    _assert_equal(_engine_state(job), feed["oracle"])
+
+
+def test_chunked_epochs_match_oracle(spark, feed, tmp_path):
+    job = CdcIngestJob(
+        spark,
+        feed["dir"],
+        str(tmp_path / "table"),
+        IngestConfig(n_buckets=8, epoch_events=250),
+    )
+    results = job.run()
+    assert len(results) > 3
+    _assert_equal(_engine_state(job), feed["oracle"])
+    # schema evolved mid-stream: model/tokens present in final schema
+    names = [f.name for f in job.table.current_schema().fields]
+    assert "model" in names and "tokens" in names
+
+
+def test_kill_and_resume(spark, feed, tmp_path):
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(n_buckets=8, epoch_events=400)
+    job1 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job1.run(max_epochs=2)  # "crash" after 2 epochs
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)  # fresh process
+    epoch0, lsn0 = job2.resume_point()
+    assert epoch0 == 2 and lsn0 == 799
+    job2.run()
+    _assert_equal(_engine_state(job2), feed["oracle"])
+
+
+def test_reapply_epoch_is_noop(spark, feed, tmp_path):
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(n_buckets=8, epoch_events=1500)
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job.run()
+    before = {
+        os.path.basename(p): os.path.getmtime(p)
+        for p in glob.glob(os.path.join(root, "_commits", "epoch=*.json"))
+    }
+    # blind re-run of epoch 0 (at-least-once retry) must be a no-op
+    r = job.run_epoch(0, -1, 1499)
+    assert r.get("skipped") == "already-committed"
+    after = {
+        os.path.basename(p): os.path.getmtime(p)
+        for p in glob.glob(os.path.join(root, "_commits", "epoch=*.json"))
+    }
+    assert before == after
+    _assert_equal(_engine_state(job), feed["oracle"])
+
+
+def test_manifests_carry_lineage(spark, feed, tmp_path):
+    root = str(tmp_path / "table")
+    job = CdcIngestJob(
+        spark, feed["dir"], root, IngestConfig(n_buckets=8, epoch_events=1200)
+    )
+    job.run()
+    manifests = sorted(glob.glob(os.path.join(root, "_commits", "epoch=*.json")))
+    assert manifests
+    m = json.load(open(manifests[0]))
+    assert {"epoch", "lsn_lo", "lsn_hi", "schema", "buckets", "metrics"} <= set(m)
+    assert m["metrics"]["keys"] > 0
+    assert isinstance(m["buckets"], dict) and len(m["buckets"]) > 0
+    # lsn ranges tile the feed without overlap
+    ranges = [
+        (json.load(open(p))["lsn_lo"], json.load(open(p))["lsn_hi"])
+        for p in manifests
+    ]
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert b_lo == a_hi

@@ -1,0 +1,68 @@
+"""MERGE-style upsert apply (SURVEY.md §2.4 J3 / §2.1 S6).
+
+The reference delegates insert-or-replace to OpenSearch's OVERWRITE policy
+(ETL/batch_ecs/source/pipeline.py:51-54). Spark core has no MERGE INTO
+without a table format, so we implement the matched/not-matched resolution
+as a planned DataFrame program. Given a key-unique batch (post LWW dedup):
+
+    new_state = (snapshot LEFT ANTI JOIN batch ON key)   -- untouched rows
+                UNION BY NAME
+                (batch WHERE op != 'D')                  -- upserted rows
+
+This is equivalent to the textbook FULL OUTER + CASE resolution
+(batch wins when matched; 'D' drops; snapshot-only rows kept) but strictly
+better physically: Spark cannot broadcast either side of a full-outer join
+(HintErrorLogger: "build right for full outer join" is unsupported), while
+LEFT ANTI supports a broadcast build of the (small, post-dedup) batch side —
+so the big snapshot side is scanned once with ZERO shuffle. Large batches
+fall back to a sort-merge anti join on the composite key, which AQE
+skew-splits if needed.
+
+Schema evolution falls out of unionByName(allowMissingColumns=True):
+snapshot-only rows get nulls for batch-introduced columns and vice versa.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_apply(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    op_col: str = "op",
+    broadcast_batch: bool | None = None,
+    drop_cols: Sequence[str] = ("lsn",),
+) -> DataFrame:
+    """Apply a LWW-dedup'd change batch to a snapshot; return the new state.
+
+    `batch` must be key-unique (run operators.dedup.lww_dedup first) and
+    carry op + payload columns; `snapshot` carries key + payload columns.
+    Result schema is the union-by-name of both payload schemas; op/lsn and
+    any `drop_cols` are dropped. Deterministic: result content depends only
+    on the two inputs, never on partitioning.
+    """
+    key_cols = list(key_cols)
+    batch_keys = batch.select(*key_cols)
+    if broadcast_batch:
+        batch_keys = F.broadcast(batch_keys)
+
+    survivors = snapshot.join(batch_keys, on=key_cols, how="left_anti")
+    upserts = batch.filter(F.col(op_col) != F.lit("D")).drop(
+        op_col, *[c for c in drop_cols if c in batch.columns]
+    )
+
+    # Align to the evolved schema: survivors gain nulls for new columns,
+    # upserts gain nulls for table columns absent from this batch.
+    return survivors.unionByName(upserts, allowMissingColumns=True)
+
+
+def merge_metrics_agg(batch: DataFrame, op_col: str = "op") -> DataFrame:
+    """Per-epoch commit metrics: rows by op — feeds the commit manifest
+    (the north_star's per-partition lineage; reference analogue is the Slack
+    run-notification payload, ETL/lambda/glue_monitor.py:10-32)."""
+    return batch.groupBy(op_col).agg(F.count(F.lit(1)).alias("n"))

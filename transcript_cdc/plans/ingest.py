@@ -1,0 +1,236 @@
+"""CdcIngestJob — the epoch loop (SURVEY.md §3.1 Spark restatement).
+
+One spark-submit job replaces the reference's EventBridge→Lambda→Glue→S3→
+Lambda→Batch→OpenSearch chain (ETL/etl/etl_stack.py, trigger lambdas,
+batch_ecs containers): read committed-offset ledger → scan the WAL slice →
+Arrow-normalize text → within-batch LWW dedup → bucket + salt → MERGE
+against the touched snapshot buckets → atomically commit data + manifest.
+
+Per-epoch dataflow (shuffles annotated — there are exactly two):
+
+  changes(lsn∈(lo,hi])              parquet scan, lsn range pushed down
+    → normalize_text (Arrow)        narrow
+    → lww_dedup                     SHUFFLE 1: hash(conv_id,turn_idx) window
+    → __bucket = pmod(xxhash64(conv_id), N)    narrow
+    ⨝ snapshot(touched buckets)     SHUFFLE 2: merge join (broadcast batch
+                                    when small → snapshot side not shuffled)
+    → salted repartition by bucket  (folded into shuffle 2's output when
+                                    broadcasting; else a cheap exchange)
+    → write data/epoch=K/ + manifest commit
+
+At 10^10 events the loop is bounded per-epoch: cost scales with
+|epoch slice| + |touched buckets' data|, never with |full table| or
+|full feed| (no collect of data, no O(table) work — SURVEY.md §7 hard #5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transcript_cdc import schemas
+from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
+from transcript_cdc.operators.dedup import lww_dedup
+from transcript_cdc.operators.merge import merge_apply
+from transcript_cdc.operators.skew import (
+    choose_salt,
+    heavy_hitter_probe,
+    salted_repartition,
+)
+from transcript_cdc.sources.changes import ChangeFeed
+from transcript_cdc.sources.lake import BUCKET_COL, ParquetSnapshotTable, bucket_expr
+
+
+@dataclass
+class IngestConfig:
+    n_buckets: int = 16
+    epoch_events: int = 1_000_000  # LSN window per epoch (micro-batch size)
+    normalize: bool = True
+    arrow_normalizer: bool = True  # False → pure-SQL normalizer (no NFC)
+    broadcast_max_rows: int = 2_000_000
+    probe_heavy_hitters: bool = True
+    write_partitions: int | None = None  # None → spark.sql.shuffle.partitions
+    extra: dict = field(default_factory=dict)
+
+
+class CdcIngestJob:
+    """Replay a change feed into a ParquetSnapshotTable, epoch by epoch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        changes_path: str,
+        table_root: str,
+        config: IngestConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or IngestConfig()
+        self.feed = ChangeFeed(spark, changes_path)
+        self.table = ParquetSnapshotTable(table_root)
+        if not self.table.exists():
+            ParquetSnapshotTable.create(
+                table_root,
+                schemas.TRANSCRIPT_SCHEMA,
+                n_buckets=self.cfg.n_buckets,
+                key_cols=schemas.KEY_COLS,
+            )
+
+    # ---------- resume ----------
+
+    def resume_point(self) -> tuple[int, int]:
+        """(next_epoch, last_committed_lsn). Reference analogue:
+        trigger_01_glue.py:23-30 reading metadata.json."""
+        last = self.table.last_committed()
+        if last is None:
+            return 0, -1
+        return int(last["epoch"]) + 1, int(last["lsn_hi"])
+
+    # ---------- the epoch ----------
+
+    def prepare_batch(self, batch: DataFrame) -> DataFrame:
+        """normalize → LWW dedup → bucket column."""
+        if self.cfg.normalize and "text" in batch.columns:
+            norm = (
+                normalize_text("text")
+                if self.cfg.arrow_normalizer
+                else normalize_text_sql("text")
+            )
+            batch = batch.withColumn("text", norm)
+        batch = lww_dedup(batch, schemas.KEY_COLS, schemas.LSN_COL)
+        return batch.withColumn(
+            BUCKET_COL, bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"])
+        )
+
+    def run_epoch(self, epoch: int, lsn_lo_excl: int, lsn_hi_incl: int) -> dict:
+        """Process one LSN window; returns the commit metrics dict.
+
+        Idempotent: if the epoch is already committed this is a no-op
+        (exactly-once re-run guard — the upgrade over the reference's
+        at-least-once retry loops, pipeline.py:74-90)."""
+        if self.table.is_committed(epoch):
+            return {"epoch": epoch, "skipped": "already-committed"}
+
+        t0 = time.time()
+        raw = self.feed.read_range(lsn_lo_excl, lsn_hi_incl)
+        batch = self.prepare_batch(raw).persist()
+        try:
+            # One small aggregate drives broadcast choice, salt factor and
+            # commit metrics; cost ∝ epoch size, not table size.
+            agg = batch.agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+                F.countDistinct(BUCKET_COL).alias("n_touched"),
+            ).collect()[0]
+            n_keys = int(agg["keys"] or 0)
+            if n_keys == 0:
+                self.table.commit_epoch(
+                    epoch,
+                    self.spark.createDataFrame([], self._state_schema(batch)),
+                    [],
+                    lsn_lo_excl,
+                    lsn_hi_incl,
+                    self.table.current_schema(),
+                    {"events_in": 0, "keys": 0},
+                )
+                return {"epoch": epoch, "keys": 0}
+
+            touched = [
+                r[BUCKET_COL]
+                for r in batch.select(BUCKET_COL).distinct().collect()
+            ]
+
+            hh = (
+                heavy_hitter_probe(batch, "conv_id")
+                if self.cfg.probe_heavy_hitters
+                else []
+            )
+            salt = choose_salt(hh)
+
+            # Schema evolution: union-by-name the batch's payload columns
+            # into the table schema (additive only; conflicts raise).
+            table_schema = self.table.current_schema()
+            batch_payload = batch.drop(
+                schemas.LSN_COL, schemas.OP_COL, BUCKET_COL
+            ).schema
+            new_schema = schemas.evolve(table_schema, batch_payload)
+
+            snapshot = self.table.read_snapshot(self.spark, buckets=touched)
+            merged = merge_apply(
+                snapshot,
+                batch.drop(BUCKET_COL),
+                key_cols=schemas.KEY_COLS,
+                broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
+            )
+            # Re-derive the bucket from conv_id (deterministic) and spread
+            # hot buckets with a salt derived from the full key — salting
+            # the write shuffle only, never the dedup window (SURVEY §7.2).
+            new_state = merged.withColumn(
+                BUCKET_COL,
+                bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
+            )
+            new_state = salted_repartition(
+                new_state,
+                [BUCKET_COL],
+                salt,
+                num_partitions=self.cfg.write_partitions,
+            )
+
+            metrics = {
+                "events_in_range": None,  # filled below lazily if cheap
+                "keys": n_keys,
+                "deletes_in_batch": int(agg["deletes"] or 0),
+                "heavy_hitters": hh[:5],
+                "salt": salt,
+                "duration_prepare_s": round(time.time() - t0, 3),
+            }
+            committed = self.table.commit_epoch(
+                epoch,
+                new_state,
+                touched,
+                lsn_lo_excl,
+                lsn_hi_incl,
+                new_schema,
+                metrics,
+            )
+            return {
+                "epoch": epoch,
+                "keys": n_keys,
+                "touched_buckets": len(touched),
+                "salt": salt,
+                "committed": committed,
+                "seconds": round(time.time() - t0, 3),
+            }
+        finally:
+            batch.unpersist()
+
+    def _state_schema(self, batch: DataFrame):
+        from pyspark.sql import types as T
+
+        s = self.table.current_schema()
+        return T.StructType(
+            list(s.fields) + [T.StructField(BUCKET_COL, T.IntegerType())]
+        )
+
+    # ---------- the loop ----------
+
+    def run(self, max_epochs: int | None = None, up_to_lsn: int | None = None) -> list[dict]:
+        """Resume from the ledger and replay forward in epoch_events windows."""
+        results = []
+        epoch, lsn_hi = self.resume_point()
+        feed_max = self.feed.max_lsn() if up_to_lsn is None else up_to_lsn
+        while lsn_hi < feed_max:
+            if max_epochs is not None and len(results) >= max_epochs:
+                break
+            nxt = min(lsn_hi + self.cfg.epoch_events, feed_max)
+            results.append(self.run_epoch(epoch, lsn_hi, nxt))
+            lsn_hi = nxt
+            epoch += 1
+        return results
+
+    # ---------- reads ----------
+
+    def final_state(self) -> DataFrame:
+        return self.table.read_snapshot(self.spark)

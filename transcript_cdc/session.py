@@ -1,0 +1,83 @@
+"""SparkSession factory tuned for the CDC workload.
+
+Defaults mirror what we'd set on a 1000-executor cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow transfer on
+(every Python-side transform is vectorized), and shuffle partitions scaled
+with available parallelism rather than the static 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip the transcript_cdc package for --py-files-style shipping.
+
+    Vectorized UDFs are pickled by reference; Python workers must be able to
+    import transcript_cdc regardless of driver cwd. This is the programmatic
+    equivalent of ``spark-submit --py-files transcript_cdc.zip`` (the
+    north_rule's cluster ship path — see scripts/submit.sh)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "transcript_cdc_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return out
+
+
+def get_spark(
+    app_name: str = "transcript-cdc",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+    ship_package: bool = True,
+) -> SparkSession:
+    """Build (or get) a SparkSession with CDC-appropriate defaults.
+
+    master defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real cluster
+    the caller passes master/deploy via spark-submit and this factory only
+    contributes the SQL confs.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting is the
+        # built-in backstop for hot-conversation skew (we also salt explicitly).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # All Python-side transforms are Arrow-vectorized pandas UDFs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Target ~128MB input splits — the sizing default we'd use at 100TB.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Feed parquet carries NTZ timestamps; read them as TimestampType in
+        # the UTC session so one timestamp type flows end-to-end.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    if ship_package:
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark

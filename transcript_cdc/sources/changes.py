@@ -1,0 +1,53 @@
+"""Change-feed reader — the WAL/binlog tail (SURVEY.md §2.1 S1/S4/S5).
+
+The reference consumes an OAI-PMH feed page-by-page in cursor order
+(ETL/glue/arxiv_feed.py:37-90) and resumes from a metadata.json date cursor
+(ETL/lambda/trigger_01_glue.py:23-34). Here the feed is a parquet directory
+of WAL segments with an explicit lsn column; resume is `lsn > committed hi`.
+
+Scale notes: the lsn range predicate is a plain comparison on a long column
+→ Catalyst pushes it to the parquet scan (row-group min/max skipping), so an
+epoch read touches only the WAL segments overlapping its range even when the
+feed directory holds the full 10^10-event history. mergeSchema=true lets
+segments written before a schema-evolution point (missing columns) coexist
+with newer ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ChangeFeed:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        """Whole feed, schema-merged across evolution points."""
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def read_range(self, lsn_lo_excl: int, lsn_hi_incl: int) -> DataFrame:
+        """One epoch's slice: lsn in (lo, hi]. Pushed to the scan."""
+        return self.read().filter(
+            (F.col("lsn") > F.lit(lsn_lo_excl)) & (F.col("lsn") <= F.lit(lsn_hi_incl))
+        )
+
+    def max_lsn(self) -> int:
+        row = self.read().agg(F.max("lsn").alias("m")).collect()[0]
+        return -1 if row["m"] is None else int(row["m"])
+
+    def read_stream(self, schema) -> DataFrame:
+        """Structured Streaming variant: file-source tail of the WAL dir.
+
+        Offsets (which files have been consumed) live in the streaming
+        checkpointLocation — the built-in analogue of the reference's
+        metadata.json cursor. Used by streaming/stream_ingest.py with
+        foreachBatch.
+        """
+        return (
+            self.spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(self.path)
+        )

@@ -1,0 +1,273 @@
+"""ParquetSnapshotTable — hermetic Iceberg-style lake table (SURVEY.md §7).
+
+Semantics matched to Iceberg (and to what the reference gets from OpenSearch
+OVERWRITE + its metadata.json cursor, ETL/glue/arxiv_feed.py:31-34,92-96 and
+ETL/batch_ecs/source/pipeline.py:51-54), without requiring the Iceberg jar
+(absent in this sandbox):
+
+- **Snapshots**: table state is defined ONLY by committed manifests under
+  ``_commits/``. Data files not named by a manifest are invisible (orphans
+  from crashed writes are harmless) — manifest-as-commit-point.
+- **Copy-on-write at bucket granularity**: the table is hash-bucketed on
+  conv_id (Iceberg ``bucket(N, conv_id)`` transform, emulated as a
+  ``bucket=B`` directory partition). An epoch commit rewrites only the
+  buckets its batch touches; untouched buckets inherit their file list from
+  the previous snapshot. At 100TB this is the difference between rewriting
+  ~(batch_keys/n_buckets · table/n_buckets) and rewriting the whole table.
+- **Exactly-once**: a manifest is written via temp-file + atomic rename;
+  re-committing an existing epoch is a detected no-op. Combined with
+  at-least-once task retries this gives effectively-once — the same
+  composition the reference uses (retries + idempotent OVERWRITE,
+  ETL/etl/etl_stack.py:88,372), upgraded from at-least-once.
+- **Additive schema evolution**: each manifest records the table schema;
+  commits may add nullable columns (union-by-name); readers apply the
+  latest schema so old files yield nulls for new columns. Type changes are
+  rejected (schemas.additive_diff).
+- **Time travel**: ``read_snapshot(as_of_epoch=k)`` reconstructs any
+  committed state.
+- **Per-partition lineage**: manifests carry per-bucket files + row counts,
+  dedup drops, heavy hitters, salt factor, durations — the north_star's
+  commit manifests for lineage/metrics.
+
+On a real cluster with the Iceberg runtime jar, `IcebergTable` (same
+interface) would route to ``MERGE INTO`` / ``ALTER TABLE ADD COLUMN``; this
+class is the hermetic default backend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transcript_cdc import schemas
+
+BUCKET_COL = "__bucket"
+
+
+def bucket_expr(n_buckets: int, key_col: str = "conv_id"):
+    """Iceberg-style bucket transform: pmod(hash(key), N).
+
+    xxhash64 is Spark-native (JVM, codegen'd) and deterministic across runs
+    and cluster sizes — bucket assignment must never depend on partitioning.
+    """
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class ParquetSnapshotTable:
+    """A bucket-partitioned, manifest-committed Parquet table."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.commits_dir = os.path.join(root, "_commits")
+        self.data_dir = os.path.join(root, "data")
+        self._meta: dict | None = None
+
+    # ---------- table lifecycle ----------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        schema: T.StructType,
+        n_buckets: int = 16,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        bucket_by: str = "conv_id",
+    ) -> "ParquetSnapshotTable":
+        t = cls(root)
+        os.makedirs(t.commits_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        meta = {
+            "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "bucket_by": bucket_by,
+            "created_schema": schema.json(),
+        }
+        _atomic_write_json(os.path.join(t.commits_dir, "table.json"), meta)
+        t._meta = meta
+        return t
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            with open(os.path.join(self.commits_dir, "table.json")) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self.meta["n_buckets"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.meta["key_cols"])
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.commits_dir, "table.json"))
+
+    # ---------- manifests ----------
+
+    def _manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.commits_dir, f"epoch={epoch:010d}.json")
+
+    def committed_epochs(self) -> list[int]:
+        if not os.path.isdir(self.commits_dir):
+            return []
+        out = []
+        for name in os.listdir(self.commits_dir):
+            if name.startswith("epoch=") and name.endswith(".json"):
+                out.append(int(name[len("epoch=") : -len(".json")]))
+        return sorted(out)
+
+    def read_manifest(self, epoch: int) -> dict:
+        with open(self._manifest_path(epoch)) as f:
+            return json.load(f)
+
+    def last_committed(self) -> dict | None:
+        """Resume point: the highest committed manifest (epoch + lsn_hi).
+
+        The analogue of the reference's metadata.json read at job trigger
+        (ETL/lambda/trigger_01_glue.py:23-30)."""
+        epochs = self.committed_epochs()
+        return self.read_manifest(epochs[-1]) if epochs else None
+
+    def _current_state(self, as_of_epoch: int | None = None) -> tuple[dict, T.StructType]:
+        """Fold manifests oldest→newest: per-bucket file lists (copy-on-write
+        replace) + latest schema."""
+        buckets: dict[str, list[str]] = {}
+        schema = T.StructType.fromJson(json.loads(self.meta["created_schema"]))
+        for epoch in self.committed_epochs():
+            if as_of_epoch is not None and epoch > as_of_epoch:
+                break
+            m = self.read_manifest(epoch)
+            for b, files in m["buckets"].items():
+                buckets[b] = files
+            if m.get("schema"):
+                schema = T.StructType.fromJson(json.loads(m["schema"]))
+        return buckets, schema
+
+    def current_schema(self) -> T.StructType:
+        return self._current_state()[1]
+
+    # ---------- read ----------
+
+    def read_snapshot(
+        self,
+        spark: SparkSession,
+        buckets: Sequence[int] | None = None,
+        as_of_epoch: int | None = None,
+        with_bucket_col: bool = False,
+    ) -> DataFrame:
+        """Read the committed state (optionally only selected buckets /
+        time-traveled to an epoch). Only manifested files are read."""
+        state, schema = self._current_state(as_of_epoch)
+        wanted = None if buckets is None else {str(int(b)) for b in buckets}
+        files: list[str] = []
+        for b, fl in state.items():
+            if wanted is None or b in wanted:
+                files.extend(os.path.join(self.root, f) for f in fl)
+        if files:
+            df = spark.read.schema(schema).parquet(*files)
+        else:
+            df = spark.createDataFrame([], schema)
+        if with_bucket_col:
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(self.n_buckets, self.meta["bucket_by"])
+            )
+        return df
+
+    # ---------- write / commit ----------
+
+    def is_committed(self, epoch: int) -> bool:
+        return os.path.exists(self._manifest_path(epoch))
+
+    def commit_epoch(
+        self,
+        epoch: int,
+        new_state: DataFrame,
+        touched_buckets: Sequence[int],
+        lsn_lo: int,
+        lsn_hi: int,
+        schema: T.StructType,
+        metrics: dict | None = None,
+    ) -> bool:
+        """Write the new state of the touched buckets and commit atomically.
+
+        `new_state` must contain exactly the rows that ARE the post-merge
+        state of `touched_buckets`, with a __bucket column. Returns False
+        (and writes nothing) if the epoch is already committed — the
+        exactly-once re-run guard (SURVEY.md §2.1 S8/T4).
+        """
+        if self.is_committed(epoch):
+            return False
+
+        epoch_dir = os.path.join(self.data_dir, f"epoch={epoch:010d}")
+        # A crashed prior attempt may have left orphan files; they were never
+        # visible (no manifest) — remove and rewrite deterministically.
+        if os.path.exists(epoch_dir):
+            shutil.rmtree(epoch_dir)
+
+        t0 = time.time()
+        (
+            new_state.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(epoch_dir)
+        )
+        write_s = time.time() - t0
+
+        # Inventory written files per bucket. Touched buckets that ended
+        # empty (all rows deleted) get [] so they shadow prior files.
+        bucket_files: dict[str, list[str]] = {
+            str(int(b)): [] for b in touched_buckets
+        }
+        bucket_counts: dict[str, int] = {}
+        if os.path.isdir(epoch_dir):
+            for entry in os.listdir(epoch_dir):
+                if not entry.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = entry.split("=", 1)[1]
+                d = os.path.join(epoch_dir, entry)
+                rel = [
+                    os.path.relpath(os.path.join(d, f), self.root)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                ]
+                bucket_files[b] = rel
+
+        manifest = {
+            "epoch": epoch,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "schema": schema.json(),
+            "buckets": bucket_files,
+            "metrics": {
+                **(metrics or {}),
+                "write_seconds": round(write_s, 3),
+                "touched_buckets": len(touched_buckets),
+                "bucket_rows": bucket_counts,
+            },
+            "committed_at": time.time(),
+        }
+        _atomic_write_json(self._manifest_path(epoch), manifest)
+        return True
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Temp-file + rename: the commit point is the rename (POSIX-atomic).
+    On S3 this would be a conditional PUT / Iceberg catalog swap."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
