@@ -1,38 +1,478 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (or a
+training-pipeline engine addition), run over the driver's sf tables, with a
+DuckDB ``oracle_sql()`` twin. Column names/aliases match exactly on both
+sides (the driver's compare is column-name-sorted value hashing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transcript_cdc.functions import text as tx
+from transcript_cdc.functions.dedup_text import minhash_near_dup_pairs
+from transcript_cdc.functions.json_fns import parse_props
+from transcript_cdc.functions.normalize import normalize_text_sql
+from transcript_cdc.functions.vectors import cosine_topk
+from transcript_cdc.operators.dedup import lww_dedup, union_dedup
+from transcript_cdc.operators.filters import conjunction, in_filter, point_lookup, range_filter
+from transcript_cdc.operators.merge import merge_apply
+from transcript_cdc.operators.skew import salted_repartition
+from transcript_cdc.plans.search import hybrid_search, lexical_score
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# entry — flagship: CDC replay of the events table as an upsert stream
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: replay `events` as a CDC upsert stream keyed
+    (user_id, event_type) with event_id as the LSN — LWW dedup + MERGE
+    against an empty snapshot → final state per key."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    feed = events.select(
+        F.col("event_id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("ts"),
+        F.col("value"),
+    )
+    batch = lww_dedup(feed, ["user_id", "event_type"], "lsn")
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, value double"
+    )
+    return merge_apply(
+        empty, batch, key_cols=["user_id", "event_type"], broadcast_batch=True
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — one per operator
+# --------------------------------------------------------------------------
+
+_EMBED_QUERY = [0.125] * 64  # unit-norm constant query vector
+_HH_QUERY = "fast table scan with merge join and window agg"
+
+
+def q_lww_dedup_events(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"), "user_id", "event_type", "value"
+    )
+    out = lww_dedup(ev, ["user_id", "event_type"], "lsn")
+    return out.select(
+        "user_id", "event_type", F.col("lsn").alias("last_event_id"), "value"
+    )
+
+
+def q_merge_upsert_events(spark, sf):
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.lit("U").alias("op"),
+        "user_id", "event_type", "value",
+    )
+    batch = lww_dedup(ev, ["user_id", "event_type"], "lsn")
+    snap = spark.createDataFrame([], "user_id long, event_type string, value double")
+    return merge_apply(snap, batch, key_cols=["user_id", "event_type"], broadcast_batch=True)
+
+
+def q_filter_range_in_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    pred = conjunction(
+        range_filter("ts", "2024-01-03 00:00:00", "2024-01-07 00:00:00"),
+        in_filter("event_type", ["click", "view"]),
+        F.col("value") > 10.0,
+    )
+    return ev.filter(pred).select("event_id", "user_id", "event_type", "value")
+
+
+def q_topk_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "event_type", "value")
+    )
+
+
+def q_union_dedup_events(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("value") > 50.0)
+    return union_dedup(a, b, ["event_id"], "value", tiebreak=F.col("event_id"))
+
+
+def q_point_lookup_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return point_lookup(li, {"l_orderkey": 1, "l_linenumber": 1}).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+
+
+def q_commit_metrics_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_orders_nation(spark, sf):
+    """Revenue by nation: orders ⨝ customer ⨝ nation (dims broadcast)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_salted_group_count(spark, sf):
+    """Two-stage salted aggregation == plain groupBy result (skew guard)."""
+    ev = _t(spark, sf, "events")
+    salted = salted_repartition(
+        ev, ["user_id"], salt=8, salt_source_cols=["event_id"]
+    )
+    partial = salted.groupBy(
+        "user_id", F.pmod(F.col("event_id"), F.lit(8)).alias("__salt")
+    ).agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("v"))
+    return partial.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"), F.round(F.sum("v"), 4).alias("sum_value")
+    )
+
+
+def q_normalize_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", normalize_text_sql("text").alias("norm_text"))
+
+
+def q_token_chunks_documents(spark, sf):
+    """P5 fan-out parity: 4-token chunk count per doc (token-based because
+    fixture texts are unpunctuated single sentences)."""
+    docs = _t(spark, sf, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id", F.ceil(n_tokens / F.lit(4)).cast("long").alias("n_chunks")
+    )
+
+
+def q_token_count_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.whitespace_token_count("text").alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def q_quality_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    f = tx.quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["mean_word_len"], 6).alias("mean_word_len"),
+    )
+
+
+def q_exact_dedup_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    norm = normalize_text_sql(F.lower(F.col("text")))
+    return (
+        docs.groupBy(norm.alias("norm_text"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("doc_id", "norm_text", "n_dups")
+    )
+
+
+def q_concat_trim_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.content_concat(F.col("lang"), F.trim(F.col("text"))).alias("content"),
+    )
+
+
+def q_truncate_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", tx.truncate_on_word("text", 60).alias("truncated")
+    )
+
+
+def q_sanitize_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        tx.sanitize_job_name(
+            F.concat_ws("/", F.col("source"), F.col("lang"), F.col("doc_id"))
+        ).alias("job_name"),
+    )
+
+
+def q_json_props_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select("event_id", parse_props("props").getField("k").alias("k"))
+
+
+def q_date_arith_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.to_date("o_orderdate"), 1).alias("next_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+
+
+def q_daily_counts_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_embed_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    out = cosine_topk(emb, "embedding", _EMBED_QUERY, 10, id_col="vec_id")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_lexical_topk_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    terms = _HH_QUERY.split()
+    return (
+        docs.withColumn("score", F.round(lexical_score("text", terms), 6))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(25)
+        .select("doc_id", "score")
+    )
+
+
+def q_minhash_near_dup_documents(spark, sf):
+    """Near-dup candidate pairs (xxhash64 minhash — not SQL-expressible;
+    rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    return minhash_near_dup_pairs(
+        docs, "text", "doc_id", shingle_n=3, k=16, bands=4, jaccard_threshold=0.5
+    )
+
+
+def q_hybrid_search_documents(spark, sf):
+    """Hybrid lexical+hash-embedding search (hash_embed not SQL-expressible;
+    rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    return hybrid_search(
+        docs, _HH_QUERY, id_cols=["doc_id"], text_col="text",
+        filters=[F.col("n_chars") > 50], top_k_final=20, per_retriever_k=25,
+    ).select("doc_id", F.round("score", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_dedup_events": q_lww_dedup_events,
+        "merge_upsert_events": q_merge_upsert_events,
+        "filter_range_in_events": q_filter_range_in_events,
+        "topk_events": q_topk_events,
+        "union_dedup_events": q_union_dedup_events,
+        "point_lookup_lineitem": q_point_lookup_lineitem,
+        "commit_metrics_lineitem": q_commit_metrics_lineitem,
+        "join_orders_nation": q_join_orders_nation,
+        "salted_group_count": q_salted_group_count,
+        "normalize_documents": q_normalize_documents,
+        "token_chunks_documents": q_token_chunks_documents,
+        "token_count_documents": q_token_count_documents,
+        "quality_documents": q_quality_documents,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "concat_trim_documents": q_concat_trim_documents,
+        "truncate_documents": q_truncate_documents,
+        "sanitize_documents": q_sanitize_documents,
+        "json_props_events": q_json_props_events,
+        "date_arith_orders": q_date_arith_orders,
+        "daily_counts_events": q_daily_counts_events,
+        "embed_topk": q_embed_topk,
+        "lexical_topk_documents": q_lexical_topk_documents,
+        "minhash_near_dup_documents": q_minhash_near_dup_documents,
+        "hybrid_search_documents": q_hybrid_search_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = "['the','a','of','and','to','in','is','it','that','for']"
+    terms = "[" + ",".join(f"'{t}'" for t in _HH_QUERY.lower().split()) + "]"
+    return {
+        "lww_dedup_events": """
+            SELECT user_id, event_type, event_id AS last_event_id, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+        """,
+        "merge_upsert_events": """
+            SELECT user_id, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+        """,
+        "filter_range_in_events": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-07 00:00:00'
+              AND event_type IN ('click','view') AND value > 10.0
+        """,
+        "topk_events": """
+            SELECT event_id, event_type, value FROM events
+            ORDER BY value DESC, event_id ASC LIMIT 20
+        """,
+        "union_dedup_events": """
+            SELECT event_id, event_type, value FROM (
+                SELECT * FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT * FROM events WHERE value > 50.0
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY event_id ORDER BY value DESC, event_id) = 1
+        """,
+        "point_lookup_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 1
+        """,
+        "commit_metrics_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_orders_nation": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY n_name
+        """,
+        "salted_group_count": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id
+        """,
+        "normalize_documents": r"""
+            SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
+        "token_chunks_documents": r"""
+            SELECT doc_id,
+                   CAST(ceil(len(string_split_regex(trim(text), '\s+')) / 4.0) AS BIGINT) AS n_chunks
+            FROM documents
+        """,
+        "token_count_documents": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS len_chars
+            FROM documents
+        """,
+        "quality_documents": rf"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_words,
+                   round(len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> list_contains({stop}, lower(x))))
+                         / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                       AS stopword_ratio,
+                   round(length(regexp_replace(text, '\s+', '', 'g'))
+                         / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
+                       AS mean_word_len
+            FROM documents
+        """,
+        "exact_dedup_documents": r"""
+            SELECT min(doc_id) AS doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """,
+        "concat_trim_documents": """
+            SELECT doc_id, lang || chr(10) || chr(10) || trim(text) AS content
+            FROM documents
+        """,
+        "truncate_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN length(text) <= 60 THEN text
+                        WHEN contains(substring(text, 1, 60), ' ')
+                        THEN regexp_extract(substring(text, 1, 60), '^(.*)\s\S*$', 1)
+                        ELSE substring(text, 1, 60) END AS truncated
+            FROM documents
+        """,
+        "sanitize_documents": r"""
+            SELECT doc_id,
+                   substring(regexp_replace(
+                       source || '/' || lang || '/' || doc_id,
+                       '[^a-zA-Z0-9\-_]+', '_', 'g'), 1, 128) AS job_name
+            FROM documents
+        """,
+        "json_props_events": """
+            SELECT event_id, CAST(props->>'k' AS INT) AS k FROM events
+        """,
+        "date_arith_orders": """
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) + INTERVAL 1 DAY AS next_day,
+                   strftime(o_orderdate, '%Y-%m') AS order_month
+            FROM orders
+        """,
+        "daily_counts_events": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "embed_topk": """
+            SELECT vec_id,
+                   round(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * 0.125)), 6) AS score
+            FROM embeddings
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        "lexical_topk_documents": rf"""
+            SELECT doc_id,
+                   round(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> list_contains({terms}, x)))
+                         / CAST(greatest(len(string_split_regex(lower(text), '\s+')), 1) AS DOUBLE), 6)
+                       AS score
+            FROM documents
+            ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # minhash_near_dup_documents / hybrid_search_documents: xxhash64-based,
+        # not expressible in DuckDB → rows-only check (intentional omission).
+    }

@@ -1,0 +1,146 @@
+"""Benchmark: CDC replay throughput (headline) + query suite timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "cdc": {events, seconds, events_per_sec, equality_pass, ...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_CDC_EVENTS (default scaled from sf),
+     BENCH_REPLAY_ONLY=1 → skip the query suite (used by bench/scaling.py).
+
+The headline metric mirrors BASELINE.json: change-events/sec sustained
+upsert throughput with a final-state equality pass against the dict oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cdc_replay(spark, n_events_target: int, epochs: int = 4) -> dict:
+    import pandas as pd
+
+    from transcript_cdc.datagen import StreamSpec, generate_events, replay_oracle, write_change_feed
+    from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
+
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    feed_dir, table_root = os.path.join(work, "feed"), os.path.join(work, "table")
+    try:
+        # ~1.44 events/insert at these ratios → back out conversations
+        n_conv = max(100, int(n_events_target / (10 * 1.44)))
+        spec = StreamSpec(
+            n_conversations=n_conv, avg_turns=10, update_ratio=0.35,
+            delete_ratio=0.08, absent_delete_ratio=0.01, zipf_s=1.2,
+            out_of_order_fraction=0.2, evolution_at=0.6, seed=42,
+            events_per_file=max(50_000, n_events_target // 16),
+        )
+        t_gen = time.time()
+        info = write_change_feed(spec, feed_dir)
+        n = info["n_events"]
+        gen_s = time.time() - t_gen
+
+        shuffle_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        cfg = IngestConfig(
+            n_buckets=32,
+            epoch_events=max(1, n // epochs + 1),
+            write_partitions=shuffle_p,
+        )
+        t0 = time.time()
+        job = CdcIngestJob(spark, feed_dir, table_root, cfg)
+        results = job.run()
+        replay_s = time.time() - t0
+
+        # final-state equality pass (north_rule): engine vs dict oracle
+        t_eq = time.time()
+        eng = (
+            job.final_state()
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+        orc = replay_oracle(generate_events(spec), normalize=True)
+        eq = len(eng) == len(orc) and (
+            eng["text"].tolist() == orc["text"].tolist()
+            and eng["conv_id"].tolist() == orc["conv_id"].tolist()
+            and eng["turn_idx"].tolist() == orc["turn_idx"].tolist()
+        )
+        eq_s = time.time() - t_eq
+        return {
+            "events": n,
+            "epochs": len(results),
+            "seconds": round(replay_s, 3),
+            "events_per_sec": round(n / replay_s, 1),
+            "equality_pass": bool(eq),
+            "final_rows": len(eng),
+            "gen_seconds": round(gen_s, 3),
+            "equality_check_seconds": round(eq_s, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    replay_only = os.environ.get("BENCH_REPLAY_ONLY") == "1"
+    n_events = int(os.environ.get("BENCH_CDC_EVENTS", int(2_000_000 * sf / 0.1)))
+
+    from transcript_cdc.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    total0 = time.time()
+    cdc = run_cdc_replay(spark, n_events)
+
+    queries: dict[str, float] = {}
+    if not replay_only:
+        import __spark_entry__ as entrymod
+
+        headline = [
+            "lww_dedup_events",
+            "merge_upsert_events",
+            "commit_metrics_lineitem",
+            "join_orders_nation",
+            "daily_counts_events",
+            "embed_topk",
+            "normalize_documents",
+            "lexical_topk_documents",
+            "hybrid_search_documents",
+            "minhash_near_dup_documents",
+        ]
+        qmap = entrymod.queries()
+        for name in headline:
+            t0 = time.time()
+            df = qmap[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - total0, 3)
+    out = {
+        "metric": "cdc-replay+queries wall time (headline: cdc.events_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cdc": cdc,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

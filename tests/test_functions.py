@@ -1,0 +1,180 @@
+"""Unit tests for the function library: Arrow normalizer vs Python oracle,
+text ops, vectors, near-dup dedup, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from transcript_cdc.datagen import normalize_text_py
+from transcript_cdc.functions.dedup_text import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard,
+    simhash,
+)
+from transcript_cdc.functions.multimodal import MEDIA_SCHEMA, extract_features
+from transcript_cdc.functions.normalize import normalize_text
+from transcript_cdc.functions.text import lang_id, quality_score, sentence_chunks, truncate_on_word
+from transcript_cdc.functions.vectors import (
+    cosine_topk,
+    hash_embed,
+    lsh_candidate_topk,
+    make_planes,
+)
+
+MESSY = [
+    "  hello\t\tworld  ",
+    "a\r\nb\r\nc",
+    "étude​ déjà vu",  # NFD + zero-width + NBSP
+    "",
+    "single",
+    " \t ",
+    "a  b   c    d",
+]
+
+
+def test_arrow_normalizer_matches_python_oracle(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(MESSY)], "id int, text string")
+    got = {
+        r.id: r.norm
+        for r in df.select("id", normalize_text("text").alias("norm")).collect()
+    }
+    want = {i: normalize_text_py(s) for i, s in enumerate(MESSY)}
+    assert got == want
+
+
+def test_normalizer_null_passthrough(spark):
+    df = spark.createDataFrame([(1, None)], "id int, text string")
+    assert df.select(normalize_text("text").alias("n")).collect()[0].n is None
+
+
+def test_sentence_chunks_fanout(spark):
+    text = "One. Two! Three? Four. Five. Six."
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = sentence_chunks(df, "text", chunk_sentences=4).orderBy("chunk_idx").collect()
+    assert len(out) == 2  # 6 sentences -> chunks of 4 + 2
+    assert out[0].chunk == "One. Two! Three? Four."
+    assert out[1].chunk == "Five. Six."
+
+
+def test_truncate_on_word(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "a" * 80), (3, "word " * 20)], "id int, text string"
+    )
+    rows = {r.id: r.t for r in df.select("id", truncate_on_word("text", 10).alias("t")).collect()}
+    assert rows[1] == "short"
+    assert rows[2] == "a" * 10  # no space -> hard cut
+    assert rows[3] == "word word"  # cut on word boundary
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist da"),
+            (3, "le chat et la maison est les"),
+            (4, "xyzzy plugh"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r.lang for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert rows == {1: "en", 2: "de", 3: "fr", 4: "unknown"}
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs to the old barn for a rest in it."),
+            (2, "!!! ??? ### $$$ %%%"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r.q for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert rows[1] > rows[2]
+    assert 0.0 <= rows[2] <= rows[1] <= 1.0
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    other = "completely different words about spark shuffles and parquet row groups here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = minhash_near_dup_pairs(df, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_ngram_jaccard_bounds(spark):
+    df = spark.createDataFrame([("a b c d e", "a b c d e"), ("a b c d e", "v w x y z")], "x string, y string")
+    vals = [r.j for r in df.select(ngram_jaccard("x", "y").alias("j")).collect()]
+    assert vals[0] == 1.0 and vals[1] == 0.0
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "parquet shuffle broadcast join skew salt bucket"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r.s for r in df.select("id", simhash("text", bits=32).alias("s")).collect()}
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_and_lsh_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = cosine_topk(df, "embedding", q, 5)
+    ids = [r.vec_id for r in exact.collect()]
+    assert ids[0] == 0  # self is nearest
+    planes = make_planes(16, 4, seed=5)
+    approx = lsh_candidate_topk(df, "embedding", q, planes, 5)
+    aids = [r.vec_id for r in approx.collect()]
+    assert 0 in aids  # self shares its own bucket by construction
+
+
+def test_hash_embed_deterministic_and_normalized(spark):
+    df = spark.createDataFrame([(1, "spark shuffles parquet")], "id int, text string")
+    v1 = df.select(hash_embed("text", 8).alias("v")).collect()[0].v
+    v2 = df.select(hash_embed("text", 8).alias("v")).collect()[0].v
+    assert v1 == v2
+    assert abs(sum(x * x for x in v1) - 1.0) < 1e-6
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", bytearray(b"\x00\x01\x02\x03" * 10), ("image/png", 4, 4, None)),
+        (2, "audio", bytearray(b"\xff" * 7), ("audio/wav", None, None, 1000)),
+        (3, "image", None, ("image/png", 0, 0, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(df).collect()}
+    assert out[1].n_bytes == 40 and len(out[1].feature) == 8
+    assert abs(sum(out[1].feature) - 1.0) < 1e-6  # histogram normalized
+    assert out[2].n_bytes == 7 and out[2].feature[7] == 1.0  # 0xff % 8 == 7
+    assert out[3].n_bytes == 0 and out[3].feature == [0.0] * 8

@@ -1,0 +1,198 @@
+"""Document deduplication for training-data pipelines (engine additions).
+
+Exact (hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard —
+the standard large-corpus near-dup arsenal, each expressed Spark-first:
+
+- exact: xxhash64 fingerprint groupBy — one shuffle on a long key.
+- MinHash: shingles via built-in transform over a slide of tokens; K
+  minhashes as K independent aggregate-mins of affine-permuted shingle
+  hashes; LSH bands group rows into buckets; near-dup pairs emerge from a
+  self-join *within buckets only* (the scale trick: no O(N²) cross join).
+- SimHash: sign-sum of per-token hash bits → 64-bit signature; hamming
+  neighbors via (signature XOR) bit_count.
+- n-gram Jaccard: exact verify step for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transcript_cdc.functions.text import fingerprint
+
+# Mersenne prime field for affine minhash permutations. 31-bit so that
+# a*h (each < 2^31) stays below 2^62 — no int64 overflow under ANSI mode.
+_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact-normalized-text group."""
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle hashes (array<long>), built-ins only:
+    slide a window over the token array with transform+slice."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, n))),
+    )
+
+
+def minhash_signature(shingle_col: Column, k: int = 32, seed: int = 7) -> Column:
+    """K minhashes: min over shingles of (a_i * h + b_i) mod P, as an array.
+
+    Affine permutations with deterministic seeded coefficients; aggregate-min
+    per permutation — all JVM expressions."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=k, dtype=np.int64)
+    b = rng.integers(0, _P, size=k, dtype=np.int64)
+
+    def perm_min(ai: int, bi: int):
+        # single-arg lambda: Spark's transform passes the array index as a
+        # second arg if the lambda accepts one, so capture via closure
+        return F.array_min(
+            F.transform(
+                shingle_col,
+                lambda h: F.pmod(F.lit(ai) * F.pmod(h, F.lit(_P)) + F.lit(bi), F.lit(_P)),
+            )
+        )
+
+    return F.array(*[perm_min(int(a[i]), int(b[i])) for i in range(k)])
+
+
+def lsh_band_buckets(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of `bands` bucket keys, each the hash of
+    one contiguous slice of the signature."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, k: int = 32, bands: int = 8, seed: int = 7,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs sharing an LSH band bucket, verified by estimated
+    Jaccard (matching minhash fraction). Returns (id_a, id_b, est_jaccard).
+
+    Scale shape: explode to (bucket, id, sig) → self-join on bucket (hash
+    join, co-partitioned) → per-pair signature compare. Never a full cross
+    join; bucket sizes bound the quadratic term.
+    """
+    rows_per_band = k // bands
+    sigd = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_n), k, seed).alias("sig"),
+    )
+    banded = sigd.select(
+        "id", "sig", F.explode(lsh_band_buckets(F.col("sig"), bands, rows_per_band)).alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.lit(float(k))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def simhash(col: Column | str, bits: int = 64) -> Column:
+    """SimHash signature: per-token 64-bit hash; each bit position votes
+    +1/-1; sign of the sum is the signature bit. Built-ins only."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def bit_votes(i: int):
+        # closure capture: aggregate's merge lambda must be exactly 2-arg
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(bit_votes(i) > 0, F.lit(2**i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def hamming(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
+    """Exact word-n-gram Jaccard between two text columns (verify step for
+    candidate pairs)."""
+    sa = F.array_distinct(shingles(a, n))
+    sb = F.array_distinct(shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    planes: list | None = None, cosine_threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket by hyperplane signature, exact
+    cosine within buckets. Same no-cross-join scale shape as minhash."""
+    from transcript_cdc.functions.vectors import cosine, hyperplane_signature, make_planes
+
+    if planes is None:
+        # infer dim from the first row — caller should pass planes at scale
+        dim = len(df.select(vec_col).first()[0])
+        planes = make_planes(dim, 8)
+    sigd = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    a, b = sigd.alias("a"), sigd.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).cast("double").alias("cos"),
+        )
+        .filter(F.col("cos") >= cosine_threshold)
+    )

@@ -1,0 +1,107 @@
+"""Hybrid search + correlations pipelines (SURVEY.md §3.2-3.3).
+
+Spark restatement of the reference's two query endpoints:
+
+/search (search_server/src/services/search.py:37-47,72-86):
+    text_embedder → embedding_retriever   ⟍
+                                            document_joiner → ranker → top_k
+    bm25_retriever                        ⟋
+Here: two scored scans of the snapshot (deterministic scorers — the
+reference's ML models are non-hermetic; the *operators* are scored-scan /
+union-dedup / rerank / top-k), fused into one DataFrame plan so Catalyst
+pushes the shared filters into both scans.
+
+/correlations (services/correlations.py:60-112): point-lookup the source
+row, over-fetch 2k by embedding score, rerank, self-match override.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transcript_cdc.functions.vectors import dot, hash_embed
+from transcript_cdc.operators.dedup import union_dedup
+from transcript_cdc.operators.filters import conjunction, point_lookup
+from transcript_cdc.operators.topk import rerank, top_k
+
+
+def lexical_score(text_col: str, query_terms: Sequence[str]) -> Column:
+    """Deterministic lexical scorer: matched-term count / doc token count —
+    the BM25-retriever stand-in (tf with length normalization)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    matched = F.size(
+        F.filter(words, lambda w: w.isin([t.lower() for t in query_terms]))
+    )
+    return (matched / F.greatest(F.size(words), F.lit(1))).cast("double")
+
+
+def embedding_score(text_col: str, query_text: str, dim: int = 16) -> Column:
+    """Deterministic semantic scorer: dot of hash-embeddings — the
+    SentenceTransformers twin (embedding.py:12-17) made hermetic.
+
+    The query is embedded with the same hash_embed applied to a literal —
+    constant-folded by Catalyst, so the per-row work is one dot product."""
+    q = hash_embed(F.lit(query_text), dim)
+    return dot(hash_embed(F.col(text_col), dim), q).cast("double")
+
+
+def hybrid_search(
+    snapshot: DataFrame,
+    query_text: str,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+    filters: Sequence[Column] = (),
+    top_k_final: int = 50,
+    per_retriever_k: int = 25,
+) -> DataFrame:
+    """Filtered hybrid top-k: lexical + semantic branches, union-dedup by id
+    keeping max score, rerank, cut to top_k_final (config.py:14 top_k=50,
+    :57 per-retriever 25)."""
+    base = snapshot.filter(conjunction(*filters))
+    terms = query_text.split()
+
+    lex = top_k(
+        base.withColumn("score", lexical_score(text_col, terms)),
+        "score", per_retriever_k, tiebreak=id_cols,
+    )
+    sem = top_k(
+        base.withColumn("score", embedding_score(text_col, query_text)),
+        "score", per_retriever_k, tiebreak=id_cols,
+    )
+    merged = union_dedup(lex, sem, id_cols, "score", tiebreak=F.col(id_cols[0]))
+    # rerank: blend lexical and semantic (the cross-encoder stand-in)
+    blended = (
+        lexical_score(text_col, terms) + embedding_score(text_col, query_text)
+    ) / 2
+    return rerank(merged, blended, top_k_final, tiebreak=id_cols)
+
+
+def correlations(
+    snapshot: DataFrame,
+    source_key: dict,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+    filters: Sequence[Column] = (),
+    k: int = 10,
+) -> DataFrame:
+    """More-like-this by key: point-lookup source text, score everything
+    against it, over-fetch 2k, rerank to k, self-score override."""
+    src = point_lookup(snapshot, source_key).select(text_col).first()
+    if src is None:
+        return snapshot.limit(0)
+    src_text = src[0] or ""
+    base = snapshot.filter(conjunction(*filters))
+    scored = base.withColumn("score", embedding_score(text_col, src_text))
+    cand = top_k(scored, "score", 2 * k, tiebreak=id_cols)
+    is_self = conjunction(
+        *[F.col(c) == F.lit(v) for c, v in source_key.items() if c in snapshot.columns]
+    )
+    reranked = rerank(
+        cand,
+        F.when(is_self, F.lit(1.0)).otherwise(F.col("score")),
+        k, tiebreak=id_cols,
+    )
+    return reranked
