@@ -61,6 +61,58 @@ def merge_apply(
     return survivors.unionByName(upserts, allowMissingColumns=True)
 
 
+def merge_apply_versioned(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+) -> DataFrame:
+    """LSN-versioned merge: correct even when batches arrive out of order.
+
+    Unlike :func:`merge_apply` (which assumes the batch's LSNs all exceed the
+    snapshot's — true for the sequential epoch loop), this variant stores
+    ``lsn`` and ``op`` IN the table and resolves matched keys by max lsn, so
+    a re-delivered or out-of-order micro-batch can never regress a newer row.
+    Deletes are retained as tombstones ('D' rows with null payload) so a
+    straggler event older than the delete still loses; readers filter
+    ``op != 'D'`` (see streaming.stream_ingest / lake read path).
+
+    Shape: union-by-name + one window over the composite key — the same
+    single-shuffle LWW shape as the within-batch dedup, now spanning
+    snapshot(touched buckets) ∪ batch. Ties on lsn (idempotent re-apply of
+    an already-merged event) break toward the stored snapshot row, which is
+    identical in content.
+    """
+    key_cols = list(key_cols)
+    # Stored rows keep their original op, so source must be tagged
+    # explicitly; snapshot wins lsn ties (identical content either way).
+    unioned = snapshot.withColumn("__src", F.lit(0)).unionByName(
+        batch.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(lsn_col).desc(), F.col("__src").asc()
+    )
+    winners = (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    # Tombstones keep key + lsn + op only; payload nulled for hygiene.
+    payload = [c for c in winners.columns if c not in key_cols + [op_col, lsn_col]]
+    exprs = (
+        [F.col(c) for c in key_cols]
+        + [F.col(lsn_col), F.col(op_col)]
+        + [
+            F.when(F.col(op_col) == "D", F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in payload
+        ]
+    )
+    return winners.select(*exprs)
+
+
 def merge_metrics_agg(batch: DataFrame, op_col: str = "op") -> DataFrame:
     """Per-epoch commit metrics: rows by op — feeds the commit manifest
     (the north_star's per-partition lineage; reference analogue is the Slack

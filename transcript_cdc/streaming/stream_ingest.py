@@ -1,0 +1,214 @@
+"""Structured Streaming ingest — the continuous tail of the WAL directory.
+
+Streaming restatement of the reference's event-driven path (S3 OBJECT_CREATED
+→ Lambda → one Batch container per file, reference ETL/etl/etl_stack.py:213-219,
+ETL/lambda/trigger_03_batch_job.py:10-54): here the file-arrival trigger is the
+Structured Streaming file source discovering new WAL segments, and the
+per-arrival unit of work is ``foreachBatch(batch_df, epoch_id)``.
+
+Exactly-once composition (SURVEY.md §2.5 T2/T4/T6):
+- the streaming **checkpointLocation** offset log tracks which WAL files each
+  epoch consumed (the built-in upgrade of the reference's metadata.json
+  cursor, ETL/glue/arxiv_feed.py:31-34);
+- on restart, Spark re-delivers the last uncommitted epoch with the SAME
+  epoch_id → ``ParquetSnapshotTable.is_committed(epoch)`` makes the re-apply
+  a no-op (idempotent sink);
+- unlike the sequential batch epoch loop (plans/ingest.py), micro-batches are
+  file-granular and NOT guaranteed lsn-contiguous, so the table stores
+  ``lsn`` + ``op`` per row and the merge is the LSN-versioned LWW
+  (operators/merge.merge_apply_versioned): a re-delivered or out-of-order
+  event can never regress a newer row, and deletes persist as tombstones
+  that straggler events older than the delete still lose to.
+
+At scale this is the deployment mode for a live binlog: the batch job
+(CdcIngestJob) is the backfill/replay tool over the same table format.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transcript_cdc import schemas
+from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
+from transcript_cdc.operators.dedup import lww_dedup
+from transcript_cdc.operators.merge import merge_apply_versioned
+from transcript_cdc.sources.lake import BUCKET_COL, ParquetSnapshotTable, bucket_expr
+
+# Table schema in streaming mode: payload + the version/op columns that make
+# out-of-order merge resolvable (tombstones included).
+VERSIONED_TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+@dataclass
+class StreamConfig:
+    n_buckets: int = 16
+    max_files_per_trigger: int = 8
+    normalize: bool = True
+    arrow_normalizer: bool = True
+    write_partitions: int | None = None
+
+
+class StreamingIngest:
+    """readStream(WAL dir) → foreachBatch(versioned MERGE) → lake table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        changes_path: str,
+        table_root: str,
+        checkpoint_dir: str,
+        config: StreamConfig | None = None,
+        feed_schema: T.StructType | None = None,
+    ):
+        self.spark = spark
+        self.changes_path = changes_path
+        self.checkpoint_dir = checkpoint_dir
+        self.cfg = config or StreamConfig()
+        # Streaming file sources need the schema up front; use the evolved
+        # superset — segments written before the evolution point simply yield
+        # nulls for the late columns (additive evolution at read time).
+        self.feed_schema = feed_schema or schemas.CHANGE_SCHEMA_EVOLVED
+        self.table = ParquetSnapshotTable(table_root)
+        if not self.table.exists():
+            base = T.StructType(
+                list(VERSIONED_TRANSCRIPT_SCHEMA.fields)
+                + [
+                    f
+                    for f in self.feed_schema.fields
+                    if f.name
+                    not in {x.name for x in VERSIONED_TRANSCRIPT_SCHEMA.fields}
+                    and f.name not in ("lsn", "op")
+                ]
+            )
+            ParquetSnapshotTable.create(
+                table_root, base, n_buckets=self.cfg.n_buckets,
+                key_cols=schemas.KEY_COLS,
+            )
+
+    # ---------- the per-epoch apply (foreachBatch target) ----------
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> dict:
+        """Idempotent versioned merge of one micro-batch.
+
+        Public so tests (and backfill tools) can drive it directly; the
+        streaming query calls it via foreachBatch."""
+        if self.table.is_committed(epoch_id):
+            return {"epoch": int(epoch_id), "skipped": "already-committed"}
+        t0 = time.time()
+
+        batch = batch_df
+        if self.cfg.normalize and "text" in batch.columns:
+            norm = (
+                normalize_text("text")
+                if self.cfg.arrow_normalizer
+                else normalize_text_sql("text")
+            )
+            batch = batch.withColumn("text", norm)
+        batch = lww_dedup(batch, schemas.KEY_COLS, schemas.LSN_COL)
+        batch = batch.withColumn(
+            BUCKET_COL, bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"])
+        ).persist()
+        try:
+            agg = batch.agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.min("lsn").alias("lsn_lo"),
+                F.max("lsn").alias("lsn_hi"),
+            ).collect()[0]
+            n_keys = int(agg["keys"] or 0)
+            if n_keys == 0:
+                return {"epoch": int(epoch_id), "keys": 0, "skipped": "empty"}
+            touched = [
+                r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
+            ]
+
+            table_schema = self.table.current_schema()
+            new_schema = schemas.evolve(
+                table_schema, batch.drop(BUCKET_COL).schema
+            )
+            snapshot = self.table.read_snapshot(self.spark, buckets=touched)
+            merged = merge_apply_versioned(
+                snapshot, batch.drop(BUCKET_COL), key_cols=schemas.KEY_COLS
+            )
+            new_state = merged.withColumn(
+                BUCKET_COL,
+                bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
+            )
+            if self.cfg.write_partitions:
+                new_state = new_state.repartition(
+                    self.cfg.write_partitions, F.col(BUCKET_COL)
+                )
+            self.table.commit_epoch(
+                epoch_id,
+                new_state,
+                touched,
+                int(agg["lsn_lo"]),
+                int(agg["lsn_hi"]),
+                new_schema,
+                {
+                    "mode": "streaming",
+                    "keys": n_keys,
+                    "duration_s": round(time.time() - t0, 3),
+                },
+            )
+            return {
+                "epoch": int(epoch_id),
+                "keys": n_keys,
+                "touched_buckets": len(touched),
+            }
+        finally:
+            batch.unpersist()
+
+    # ---------- the query ----------
+
+    def start(self, available_now: bool = True, processing_time: str | None = None):
+        """Start the streaming query. availableNow drains the current backlog
+        then stops (the reference's scheduled-catch-up mode, T1); a
+        processingTime trigger is the continuous-tail mode (T2)."""
+        stream = (
+            self.spark.readStream.schema(self.feed_schema)
+            .option("maxFilesPerTrigger", str(self.cfg.max_files_per_trigger))
+            .parquet(self.changes_path)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, eid: self.apply_batch(df, eid)
+            )
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self) -> None:
+        """Drain the backlog and return (blocking availableNow run)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    # ---------- reads ----------
+
+    def final_state(self, with_version_cols: bool = False) -> DataFrame:
+        """Live rows (tombstones filtered); version columns dropped unless
+        requested."""
+        df = self.table.read_snapshot(self.spark).filter(F.col("op") != "D")
+        if not with_version_cols:
+            df = df.drop("lsn", "op")
+        return df
