@@ -109,15 +109,28 @@ def hash_embed(col: Column | str, dim: int = 16) -> Column:
     stand-in for the reference's SentenceTransformers embedder
     (pipeline.py:47-50): token → hash bucket → L2-normalized counts.
     Pure built-ins: split/hash/aggregate, no Python, no model."""
+    from transcript_cdc.functions.expr import bind
+
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
+    # let-bind twice: the token-bucket array is evaluated once (not once per
+    # output dimension), and the unnormalized count vector once (not once
+    # per element during normalization).
+    buckets = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(dim)))
 
-    def bucket_count(i: int):
-        # closure capture: a 2-arg lambda would receive the array index
-        return F.size(
-            F.filter(words, lambda w: F.pmod(F.xxhash64(w), F.lit(dim)) == i)
-        ).cast("double")
+    def body(bk: Column) -> Column:
+        def bucket_count(i: int):
+            # closure capture: a 2-arg lambda would receive the array index
+            return F.size(F.filter(bk, lambda b: b == i)).cast("double")
 
-    arr = F.array(*[bucket_count(i) for i in range(dim)])
-    n = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v))
-    return F.transform(arr, lambda v: v / F.greatest(n, F.lit(1e-12)))
+        return F.array(*[bucket_count(i) for i in range(dim)])
+
+    arr = bind(buckets, body)
+
+    def normalize(a: Column) -> Column:
+        return bind(
+            F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)),
+            lambda n: F.transform(a, lambda v: v / F.greatest(n, F.lit(1e-12))),
+        )
+
+    return bind(arr, normalize)

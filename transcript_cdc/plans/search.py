@@ -42,9 +42,16 @@ def embedding_score(text_col: str, query_text: str, dim: int = 16) -> Column:
     """Deterministic semantic scorer: dot of hash-embeddings — the
     SentenceTransformers twin (embedding.py:12-17) made hermetic.
 
-    The query is embedded with the same hash_embed applied to a literal —
-    constant-folded by Catalyst, so the per-row work is one dot product."""
-    q = hash_embed(F.lit(query_text), dim)
+    The query embedding is computed ONCE driver-side (a 1-row job) and
+    inlined as a literal array — Catalyst does not constant-fold
+    higher-order-function trees, so embedding the query lazily would re-run
+    hash_embed(query) for every scored row. This mirrors the reference
+    embedding the query once per request (services/search.py:72-76)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    qvec = spark.range(1).select(hash_embed(F.lit(query_text), dim).alias("q")).first()["q"]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
     return dot(hash_embed(F.col(text_col), dim), q).cast("double")
 
 
