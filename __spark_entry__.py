@@ -18,15 +18,20 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from transcript_cdc.functions import text as tx
-from transcript_cdc.functions.dedup_text import minhash_near_dup_pairs
+from transcript_cdc.functions.dedup_text import (
+    embedding_near_dup_pairs,
+    minhash_near_dup_pairs,
+    simhash,
+)
 from transcript_cdc.functions.json_fns import parse_props
+from transcript_cdc.functions.multimodal import extract_features
 from transcript_cdc.functions.normalize import normalize_text_sql
-from transcript_cdc.functions.vectors import cosine_topk
+from transcript_cdc.functions.vectors import cosine_topk, lsh_candidate_topk, make_planes
 from transcript_cdc.operators.dedup import lww_dedup, union_dedup
 from transcript_cdc.operators.filters import conjunction, in_filter, point_lookup, range_filter
 from transcript_cdc.operators.merge import merge_apply
 from transcript_cdc.operators.skew import salted_repartition
-from transcript_cdc.plans.search import hybrid_search, lexical_score
+from transcript_cdc.plans.search import correlations, hybrid_search, lexical_score
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -299,6 +304,119 @@ def q_hybrid_search_documents(spark, sf):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_lang_id_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", tx.lang_id("text").alias("lang_guess"))
+
+
+def q_fingerprint_documents(spark, sf):
+    """Document fingerprinting with an oracle-checkable digest (md5 of the
+    normalized text; the engine's internal dedup key uses xxhash64, same
+    shape)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text_sql(F.lower(F.col("text")))).alias("fp"),
+    )
+
+
+def q_quality_score_documents(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(tx.quality_score("text"), 6).alias("quality")
+    )
+
+
+def q_simhash_documents(spark, sf):
+    """SimHash signatures (xxhash64-based — rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", simhash("text", bits=32).alias("sig"))
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets
+    (rows-only check)."""
+    emb = _t(spark, sf, "embeddings")
+    planes = make_planes(64, 6)
+    return embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", planes=planes, cosine_threshold=0.9
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q_ann_topk_embeddings(spark, sf):
+    """LSH-bucketed approximate top-k (rows-only check; recall measured in
+    tests against the exact scan)."""
+    emb = _t(spark, sf, "embeddings")
+    planes = make_planes(64, 4)
+    out = lsh_candidate_topk(emb, "embedding", _EMBED_QUERY, planes, 10, id_col="vec_id")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def q_correlations_documents(spark, sf):
+    """More-like-this by doc id (hash-embedding scored — rows-only check)."""
+    docs = _t(spark, sf, "documents")
+    return correlations(
+        docs, {"doc_id": 7}, id_cols=["doc_id"], text_col="text", k=10
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_multimodal_nbytes(spark, sf):
+    """Multimodal plumbing: binary payload column → mapInPandas feature
+    extraction (Arrow batches, one-time per-task init). Byte counts are
+    SQL-checkable; the feature vector itself is covered by unit tests."""
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def q_window_hourly_events(spark, sf):
+    """Tumbling event-time window aggregation (the Structured Streaming
+    windowed-agg shape, run on the batch table)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "total_value")
+    )
+
+
+def q_anti_join_customers(spark, sf):
+    """Customers with no orders — the merge survivor side (left anti join)
+    as a standalone query."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def q_top3_per_user_events(spark, sf):
+    """Per-group top-k via ranked window (the LWW dedup shape generalized
+    to k>1)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_id", "value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_dedup_events": q_lww_dedup_events,
@@ -325,6 +443,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_topk_documents": q_lexical_topk_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "quality_score_documents": q_quality_score_documents,
+        "simhash_documents": q_simhash_documents,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "correlations_documents": q_correlations_documents,
+        "multimodal_nbytes": q_multimodal_nbytes,
+        "window_hourly_events": q_window_hourly_events,
+        "anti_join_customers": q_anti_join_customers,
+        "top3_per_user_events": q_top3_per_user_events,
     }
 
 
@@ -473,6 +602,76 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
-        # minhash_near_dup_documents / hybrid_search_documents: xxhash64-based,
-        # not expressible in DuckDB → rows-only check (intentional omission).
+        "lang_id_documents": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> list_contains(['the','and','of','is','to'], x))) AS c_en,
+                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> list_contains(['der','die','und','ist','das'], x))) AS c_de,
+                       len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> list_contains(['le','la','et','est','les'], x))) AS c_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(c_en, c_de, c_fr) <= 0 THEN 'unknown'
+                        WHEN c_en = greatest(c_en, c_de, c_fr) THEN 'en'
+                        WHEN c_de = greatest(c_en, c_de, c_fr) THEN 'de'
+                        WHEN c_fr = greatest(c_en, c_de, c_fr) THEN 'fr'
+                        ELSE 'unknown' END AS lang_guess
+            FROM c
+        """,
+        "fingerprint_documents": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "quality_score_documents": r"""
+            WITH f AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(string_split_regex(trim(text), '\s+')) AS n_words,
+                       length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                           AS n_punct,
+                       len(list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> list_contains(['the','a','of','and','to','in','is','it','that','for'],
+                                              lower(x)))) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id,
+                   round((least(n_words / 20.0, 1.0)
+                          + (1.0 - least(4.0 * n_punct / greatest(n_chars, 1), 1.0))
+                          + least(5.0 * n_stop / greatest(n_words, 1), 1.0)) / 3, 6)
+                       AS quality
+            FROM f
+        """,
+        "multimodal_nbytes": """
+            SELECT doc_id AS media_id, 'image' AS kind,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+        "window_hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   count(*) AS n, round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "top3_per_user_events": """
+            SELECT user_id, rk, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC, event_id ASC) AS rk
+                FROM events)
+            WHERE rk <= 3
+        """,
+        # Rows-only (intentional omissions — not expressible in DuckDB):
+        # minhash_near_dup_documents / hybrid_search_documents /
+        # simhash_documents (xxhash64-based), embedding_near_dup /
+        # ann_topk_embeddings (seeded hyperplane LSH), correlations_documents
+        # (hash-embedding scorer).
     }
