@@ -3,7 +3,8 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>,
-   "cdc": {events, seconds, events_per_sec, equality_pass, ...}}
+   "cdc": {events, seconds, events_per_sec, equality_pass, ...},   # COW MERGE
+   "cdc_mor": {...same for merge-on-read delta-append storage...}}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -26,14 +27,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cdc_replay(spark, n_events_target: int, epochs: int = 4) -> dict:
-    import pandas as pd
+def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "mor")) -> dict:
+    """Replay the same seeded feed in each storage mode; equality-check each.
 
+    cow = per-epoch MERGE + touched-bucket rewrite (read-optimized);
+    mor = per-epoch delta append + LWW fold at read (write-optimized,
+    Iceberg-v2 upsert shape). The feed and the dict oracle are built once."""
     from transcript_cdc.datagen import StreamSpec, generate_events, replay_oracle, write_change_feed
     from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
 
     work = tempfile.mkdtemp(prefix="cdc_bench_")
-    feed_dir, table_root = os.path.join(work, "feed"), os.path.join(work, "table")
+    feed_dir = os.path.join(work, "feed")
     try:
         # ~1.44 events/insert at these ratios → back out conversations
         n_conv = max(100, int(n_events_target / (10 * 1.44)))
@@ -48,42 +52,51 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4) -> dict:
         n = info["n_events"]
         gen_s = time.time() - t_gen
 
-        shuffle_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        cfg = IngestConfig(
-            n_buckets=32,
-            epoch_events=max(1, n // epochs + 1),
-            write_partitions=shuffle_p,
-        )
-        t0 = time.time()
-        job = CdcIngestJob(spark, feed_dir, table_root, cfg)
-        results = job.run()
-        replay_s = time.time() - t0
-
-        # final-state equality pass (north_rule): engine vs dict oracle
-        t_eq = time.time()
-        eng = (
-            job.final_state()
-            .toPandas()
-            .sort_values(["conv_id", "turn_idx"], kind="stable")
-            .reset_index(drop=True)
-        )
+        t_orc = time.time()
         orc = replay_oracle(generate_events(spec), normalize=True)
-        eq = len(eng) == len(orc) and (
-            eng["text"].tolist() == orc["text"].tolist()
-            and eng["conv_id"].tolist() == orc["conv_id"].tolist()
-            and eng["turn_idx"].tolist() == orc["turn_idx"].tolist()
-        )
-        eq_s = time.time() - t_eq
-        return {
-            "events": n,
-            "epochs": len(results),
-            "seconds": round(replay_s, 3),
-            "events_per_sec": round(n / replay_s, 1),
-            "equality_pass": bool(eq),
-            "final_rows": len(eng),
-            "gen_seconds": round(gen_s, 3),
-            "equality_check_seconds": round(eq_s, 3),
-        }
+        orc_s = time.time() - t_orc
+
+        shuffle_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        out: dict = {}
+        for mode in modes:
+            cfg = IngestConfig(
+                n_buckets=32,
+                epoch_events=max(1, n // epochs + 1),
+                write_partitions=shuffle_p,
+                storage=mode,
+            )
+            table_root = os.path.join(work, f"table_{mode}")
+            t0 = time.time()
+            job = CdcIngestJob(spark, feed_dir, table_root, cfg)
+            results = job.run()
+            replay_s = time.time() - t0
+
+            # final-state equality pass (north_rule): engine vs dict oracle
+            t_eq = time.time()
+            eng = (
+                job.final_state()
+                .toPandas()
+                .sort_values(["conv_id", "turn_idx"], kind="stable")
+                .reset_index(drop=True)
+            )
+            eq = len(eng) == len(orc) and (
+                eng["text"].tolist() == orc["text"].tolist()
+                and eng["conv_id"].tolist() == orc["conv_id"].tolist()
+                and eng["turn_idx"].tolist() == orc["turn_idx"].tolist()
+            )
+            eq_s = time.time() - t_eq
+            out[mode] = {
+                "events": n,
+                "epochs": len(results),
+                "seconds": round(replay_s, 3),
+                "events_per_sec": round(n / replay_s, 1),
+                "equality_pass": bool(eq),
+                "final_rows": len(eng),
+                "equality_check_seconds": round(eq_s, 3),
+            }
+        out["gen_seconds"] = round(gen_s, 3)
+        out["oracle_seconds"] = round(orc_s, 3)
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -102,8 +115,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    modes = tuple(
+        m for m in os.environ.get("BENCH_CDC_MODES", "cow,mor").split(",") if m
+    )
     total0 = time.time()
-    cdc = run_cdc_replay(spark, n_events)
+    res = run_cdc_replay(spark, n_events, modes=modes)
+    cdc = res.get("cow") or res.get(modes[0])
+    cdc = dict(cdc, gen_seconds=res["gen_seconds"], oracle_seconds=res["oracle_seconds"])
+    cdc_mor = res.get("mor")
 
     queries: dict[str, float] = {}
     if not replay_only:
@@ -136,6 +155,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cdc": cdc,
+        "cdc_mor": cdc_mor,
         "cpus": int(cpus),
     }
     print(json.dumps(out))

@@ -139,3 +139,74 @@ def test_manifests_carry_lineage(spark, feed, tmp_path):
     ]
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert b_lo == a_hi
+
+
+# ---------------- merge-on-read storage mode ----------------
+
+
+def test_mor_chunked_replay_matches_oracle(spark, feed, tmp_path):
+    job = CdcIngestJob(
+        spark,
+        feed["dir"],
+        str(tmp_path / "table"),
+        IngestConfig(n_buckets=8, epoch_events=250, storage="mor"),
+    )
+    results = job.run()
+    assert len(results) > 3
+    _assert_equal(_engine_state(job), feed["oracle"])
+    # delta chains really accumulate (append commits, no rewrite)
+    m_last = job.table.last_committed()
+    assert any(len(files) > 1 for files in m_last["buckets"].values())
+
+
+def test_mor_autocompact_and_resume(spark, feed, tmp_path):
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(
+        n_buckets=8, epoch_events=400, storage="mor", compact_every=2
+    )
+    job1 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job1.run(max_epochs=2)  # 2 ingest epochs + 1 compaction commit
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)  # fresh process
+    epoch0, lsn0 = job2.resume_point()
+    assert lsn0 == 799  # compaction advanced the epoch id, not the cursor
+    assert epoch0 == 3
+    job2.run()
+    _assert_equal(_engine_state(job2), feed["oracle"])
+    # post-compaction: compacted buckets fold to a single base file list
+    manifests = sorted(
+        glob.glob(os.path.join(root, "_commits", "epoch=*.json"))
+    )
+    modes = [
+        json.load(open(p))["metrics"].get("mode") for p in manifests
+    ]
+    assert "compaction" in modes
+
+
+def test_mor_compact_preserves_state(spark, feed, tmp_path):
+    root = str(tmp_path / "table")
+    job = CdcIngestJob(
+        spark,
+        feed["dir"],
+        root,
+        IngestConfig(n_buckets=8, epoch_events=500, storage="mor"),
+    )
+    job.run()
+    before = _engine_state(job)
+    r = job.table.compact(spark, write_partitions=4)
+    assert r["committed"]
+    after = _engine_state(job)
+    pd.testing.assert_frame_equal(before, after)
+    # compaction bounded read amplification: every bucket now has one chain
+    m = job.table.last_committed()
+    assert all(len(files) <= 2 for files in m["buckets"].values())
+
+
+def test_mor_cow_mode_mismatch_rejected(spark, feed, tmp_path):
+    root = str(tmp_path / "table")
+    CdcIngestJob(
+        spark, feed["dir"], root, IngestConfig(n_buckets=8, storage="mor")
+    )
+    with pytest.raises(ValueError, match="storage"):
+        CdcIngestJob(
+            spark, feed["dir"], root, IngestConfig(n_buckets=8, storage="cow")
+        )

@@ -52,6 +52,22 @@ TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
+# Table schema for versioned storage (merge-on-read lake tables and the
+# streaming sink): payload + lsn/op so readers can resolve LWW and deletes
+# persist as tombstones.
+VERSIONED_TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
 # Columns carried by the feed but not part of table state.
 FEED_ONLY_COLS = [LSN_COL, OP_COL]
 

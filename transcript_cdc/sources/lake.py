@@ -197,16 +197,26 @@ class ParquetSnapshotTable:
         lsn_hi: int,
         schema: T.StructType,
         metrics: dict | None = None,
+        append: bool = False,
     ) -> bool:
         """Write the new state of the touched buckets and commit atomically.
 
-        `new_state` must contain exactly the rows that ARE the post-merge
-        state of `touched_buckets`, with a __bucket column. Returns False
-        (and writes nothing) if the epoch is already committed — the
-        exactly-once re-run guard (SURVEY.md §2.1 S8/T4).
+        Copy-on-write (``append=False``, default): `new_state` must contain
+        exactly the rows that ARE the post-merge state of `touched_buckets`;
+        the manifest's file list REPLACES each touched bucket's files.
+
+        Merge-on-read (``append=True``): `new_state` is a DELTA (this
+        epoch's key-unique change rows, lsn/op included); the manifest lists
+        prior files + the new delta files, and readers resolve LWW at read
+        time (MergeOnReadTable) — Iceberg-v2-style row-level upserts without
+        rewriting untouched data.
+
+        Returns False (and writes nothing) if the epoch is already
+        committed — the exactly-once re-run guard (SURVEY.md §2.1 S8/T4).
         """
         if self.is_committed(epoch):
             return False
+        prior_state, _ = self._current_state() if append else ({}, None)
 
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch:010d}")
         # A crashed prior attempt may have left orphan files; they were never
@@ -222,10 +232,12 @@ class ParquetSnapshotTable:
         )
         write_s = time.time() - t0
 
-        # Inventory written files per bucket. Touched buckets that ended
-        # empty (all rows deleted) get [] so they shadow prior files.
+        # Inventory written files per bucket. In COW mode, touched buckets
+        # that ended empty (all rows deleted) get [] so they shadow prior
+        # files; in append (MOR) mode an empty delta keeps the prior files.
         bucket_files: dict[str, list[str]] = {
-            str(int(b)): [] for b in touched_buckets
+            str(int(b)): (list(prior_state.get(str(int(b)), [])) if append else [])
+            for b in touched_buckets
         }
         bucket_counts: dict[str, int] = {}
         if os.path.isdir(epoch_dir):
@@ -239,7 +251,10 @@ class ParquetSnapshotTable:
                     for f in sorted(os.listdir(d))
                     if f.endswith(".parquet")
                 ]
-                bucket_files[b] = rel
+                if append:
+                    bucket_files[b] = list(prior_state.get(b, [])) + rel
+                else:
+                    bucket_files[b] = rel
 
         manifest = {
             "epoch": epoch,
@@ -257,6 +272,110 @@ class ParquetSnapshotTable:
         }
         _atomic_write_json(self._manifest_path(epoch), manifest)
         return True
+
+
+class MergeOnReadTable(ParquetSnapshotTable):
+    """Iceberg-v2-style merge-on-read variant of the lake table.
+
+    Ingest appends per-epoch DELTA files (key-unique change rows carrying
+    ``lsn`` + ``op``, deletes as tombstones) instead of rewriting touched
+    buckets — write cost per epoch is O(batch), never O(table). Readers
+    resolve last-writer-wins at scan time: one window over the natural key
+    ordered by lsn, tombstones filtered. ``compact()`` folds a bucket's
+    delta chain back to one base file set, bounding read amplification —
+    the classic high-update-rate CDC trade (write amplification ↔ read
+    amplification) made explicit and benchmarkable vs COW.
+
+    The manifest/commit protocol, exactly-once guard, schema evolution and
+    time travel are inherited unchanged: a MOR commit is just a manifest
+    whose bucket file lists grow instead of being replaced.
+    """
+
+    STORAGE = "mor"
+
+    @classmethod
+    def create(cls, root, schema, n_buckets=16, key_cols=("conv_id", "turn_idx"), bucket_by="conv_id"):
+        t = super().create(root, schema, n_buckets=n_buckets, key_cols=key_cols, bucket_by=bucket_by)
+        meta = dict(t.meta)
+        meta["storage"] = cls.STORAGE
+        _atomic_write_json(os.path.join(t.commits_dir, "table.json"), meta)
+        t._meta = meta
+        return MergeOnReadTable(root)
+
+    # ---------- resolved reads ----------
+
+    def read_resolved(
+        self,
+        spark: SparkSession,
+        buckets: Sequence[int] | None = None,
+        as_of_epoch: int | None = None,
+        with_version_cols: bool = False,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ) -> DataFrame:
+        """Scan delta chains and fold to current state: LWW by lsn per key,
+        tombstones dropped. The fold shuffles only the buckets actually
+        read (one window on the composite key), and bucket pruning still
+        applies before any I/O."""
+        from pyspark.sql import Window
+
+        raw = self.read_snapshot(spark, buckets=buckets, as_of_epoch=as_of_epoch)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col(lsn_col).desc())
+        df = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+            .drop("__rn")
+        )
+        if not with_version_cols:
+            df = df.drop(lsn_col, op_col)
+        return df
+
+    # ---------- compaction ----------
+
+    def compact(
+        self,
+        spark: SparkSession,
+        drop_tombstones: bool = True,
+        write_partitions: int | None = None,
+    ) -> dict:
+        """Fold every bucket's delta chain into a fresh base (one commit).
+
+        ``drop_tombstones=True`` is safe when ingestion is lsn-windowed
+        (the batch epoch loop): no event older than the compaction horizon
+        can ever arrive. Streaming/out-of-order feeds should keep
+        tombstones (False) so stragglers still lose.
+        """
+        last = self.last_committed()
+        if last is None:
+            return {"skipped": "empty-table"}
+        from pyspark.sql import Window
+
+        raw = self.read_snapshot(spark)
+        w = Window.partitionBy(*self.key_cols).orderBy(F.col("lsn").desc())
+        folded = (
+            raw.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if drop_tombstones:
+            folded = folded.filter(F.col("op") != "D")
+        folded = folded.withColumn(
+            BUCKET_COL, bucket_expr(self.n_buckets, self.meta["bucket_by"])
+        )
+        if write_partitions:
+            folded = folded.repartition(write_partitions, F.col(BUCKET_COL))
+        epoch = int(last["epoch"]) + 1
+        committed = self.commit_epoch(
+            epoch,
+            folded,
+            list(range(self.n_buckets)),  # all buckets rewritten to base
+            int(last["lsn_hi"]),
+            int(last["lsn_hi"]),
+            self.current_schema(),
+            {"mode": "compaction", "drop_tombstones": drop_tombstones},
+            append=False,
+        )
+        return {"epoch": epoch, "committed": committed}
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:

@@ -40,19 +40,9 @@ from transcript_cdc.operators.merge import merge_apply_versioned
 from transcript_cdc.sources.lake import BUCKET_COL, ParquetSnapshotTable, bucket_expr
 
 # Table schema in streaming mode: payload + the version/op columns that make
-# out-of-order merge resolvable (tombstones included).
-VERSIONED_TRANSCRIPT_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("turn_idx", T.IntegerType(), False),
-        T.StructField("lsn", T.LongType(), False),
-        T.StructField("op", T.StringType(), False),
-        T.StructField("role", T.StringType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("tool", T.StringType(), True),
-        T.StructField("ts", T.TimestampType(), True),
-    ]
-)
+# out-of-order merge resolvable (tombstones included). Canonical definition
+# lives in schemas.py (shared with merge-on-read storage).
+VERSIONED_TRANSCRIPT_SCHEMA = schemas.VERSIONED_TRANSCRIPT_SCHEMA
 
 
 @dataclass
