@@ -32,12 +32,27 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
 
     cow = per-epoch MERGE + touched-bucket rewrite (read-optimized);
     mor = per-epoch delta append + LWW fold at read (write-optimized,
-    Iceberg-v2 upsert shape). The feed and the dict oracle are built once."""
+    Iceberg-v2 upsert shape). The feed and the dict oracle are built once.
+
+    Env: BENCH_FEED_DIR reuses a pre-generated feed across trials (the
+    stream is seed-deterministic, so any run with the same event count gets
+    identical input); BENCH_SKIP_EQUALITY=1 skips the oracle replay +
+    equality pass (used by bench/scaling.py trials, where equality is
+    already evidenced by the headline bench and the test suite).
+    """
     from transcript_cdc.datagen import StreamSpec, generate_events, replay_oracle, write_change_feed
     from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
 
-    work = tempfile.mkdtemp(prefix="cdc_bench_")
-    feed_dir = os.path.join(work, "feed")
+    # Feed + table live on fast scratch: the sandbox root disk writes at
+    # ~8 MB/s (throttled), which would turn a compute benchmark into a disk
+    # benchmark; a real cluster's per-node NVMe scales with executor count.
+    base = os.environ.get("BENCH_WORK_DIR")
+    if base is None and os.access("/dev/shm", os.W_OK):
+        base = "/dev/shm"
+    work = tempfile.mkdtemp(prefix="cdc_bench_", dir=base)
+    skip_eq = os.environ.get("BENCH_SKIP_EQUALITY") == "1"
+    feed_cache = os.environ.get("BENCH_FEED_DIR")
+    feed_dir = feed_cache or os.path.join(work, "feed")
     try:
         # ~1.44 events/insert at these ratios → back out conversations
         n_conv = max(100, int(n_events_target / (10 * 1.44)))
@@ -48,12 +63,22 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
             events_per_file=max(50_000, n_events_target // 16),
         )
         t_gen = time.time()
-        info = write_change_feed(spec, feed_dir)
-        n = info["n_events"]
+        if feed_cache and os.path.isdir(feed_dir) and os.listdir(feed_dir):
+            import glob as _g
+
+            import pyarrow.parquet as _pq
+
+            n = sum(
+                _pq.read_metadata(f).num_rows
+                for f in _g.glob(os.path.join(feed_dir, "*.parquet"))
+            )
+        else:
+            info = write_change_feed(spec, feed_dir)
+            n = info["n_events"]
         gen_s = time.time() - t_gen
 
         t_orc = time.time()
-        orc = replay_oracle(generate_events(spec), normalize=True)
+        orc = None if skip_eq else replay_oracle(generate_events(spec), normalize=True)
         orc_s = time.time() - t_orc
 
         shuffle_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -73,25 +98,29 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
 
             # final-state equality pass (north_rule): engine vs dict oracle
             t_eq = time.time()
-            eng = (
-                job.final_state()
-                .toPandas()
-                .sort_values(["conv_id", "turn_idx"], kind="stable")
-                .reset_index(drop=True)
-            )
-            eq = len(eng) == len(orc) and (
-                eng["text"].tolist() == orc["text"].tolist()
-                and eng["conv_id"].tolist() == orc["conv_id"].tolist()
-                and eng["turn_idx"].tolist() == orc["turn_idx"].tolist()
-            )
+            if skip_eq:
+                eq, n_rows = None, int(job.final_state().count())
+            else:
+                eng = (
+                    job.final_state()
+                    .toPandas()
+                    .sort_values(["conv_id", "turn_idx"], kind="stable")
+                    .reset_index(drop=True)
+                )
+                eq = len(eng) == len(orc) and (
+                    eng["text"].tolist() == orc["text"].tolist()
+                    and eng["conv_id"].tolist() == orc["conv_id"].tolist()
+                    and eng["turn_idx"].tolist() == orc["turn_idx"].tolist()
+                )
+                n_rows = len(eng)
             eq_s = time.time() - t_eq
             out[mode] = {
                 "events": n,
                 "epochs": len(results),
                 "seconds": round(replay_s, 3),
                 "events_per_sec": round(n / replay_s, 1),
-                "equality_pass": bool(eq),
-                "final_rows": len(eng),
+                "equality_pass": None if eq is None else bool(eq),
+                "final_rows": n_rows,
                 "equality_check_seconds": round(eq_s, 3),
             }
         out["gen_seconds"] = round(gen_s, 3)
@@ -107,6 +136,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     replay_only = os.environ.get("BENCH_REPLAY_ONLY") == "1"
     n_events = int(os.environ.get("BENCH_CDC_EVENTS", int(2_000_000 * sf / 0.1)))
+    n_epochs = int(os.environ.get("BENCH_CDC_EPOCHS", "4"))
 
     from transcript_cdc.session import get_spark
 
@@ -119,7 +149,7 @@ def main() -> None:
         m for m in os.environ.get("BENCH_CDC_MODES", "cow,mor").split(",") if m
     )
     total0 = time.time()
-    res = run_cdc_replay(spark, n_events, modes=modes)
+    res = run_cdc_replay(spark, n_events, epochs=n_epochs, modes=modes)
     cdc = res.get("cow") or res.get(modes[0])
     cdc = dict(cdc, gen_seconds=res["gen_seconds"], oracle_seconds=res["oracle_seconds"])
     cdc_mor = res.get("mor")

@@ -46,6 +46,7 @@ from transcript_cdc.sources.lake import (
     MergeOnReadTable,
     ParquetSnapshotTable,
     bucket_expr,
+    empty_df,
 )
 
 
@@ -162,7 +163,7 @@ class CdcIngestJob:
             if n_keys == 0:
                 self.table.commit_epoch(
                     epoch,
-                    self.spark.createDataFrame([], self._state_schema(batch)),
+                    empty_df(self.spark, self._state_schema(batch)),
                     [],
                     lsn_lo_excl,
                     lsn_hi_incl,

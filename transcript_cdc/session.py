@@ -34,6 +34,19 @@ def _package_zip() -> str:
     return out
 
 
+def _scratch_dir() -> str:
+    """Fast scratch for shuffle/spill: $SPARK_GRAFT_LOCAL_DIR > /dev/shm > tmp."""
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        d = os.path.join(shm, "spark-local")
+        os.makedirs(d, exist_ok=True)
+        return d
+    return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "transcript-cdc",
     master: str | None = None,
@@ -74,6 +87,12 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Shuffle/spill scratch: node-local fast storage. On a cluster each
+        # executor gets its own NVMe (bandwidth scales with nodes); this
+        # sandbox's root disk writes at ~8 MB/s (throttled virtio), so tmpfs
+        # is the faithful local proxy — without it every job is disk-bound
+        # and core scaling is unmeasurable.
+        .config("spark.local.dir", _scratch_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

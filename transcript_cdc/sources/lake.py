@@ -52,6 +52,20 @@ from transcript_cdc import schemas
 BUCKET_COL = "__bucket"
 
 
+def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """JVM-only empty relation with the given schema.
+
+    ``spark.createDataFrame([], schema)`` builds a ParallelCollectionRDD
+    through the Python pickle path — every stage that touches it spins up
+    Python workers just to deserialize nothing (measured ~6s/task on a cold
+    pool). ``spark.range(0)`` + typed null projection stays entirely in the
+    JVM and folds to an empty LocalRelation.
+    """
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def bucket_expr(n_buckets: int, key_col: str = "conv_id"):
     """Iceberg-style bucket transform: pmod(hash(key), N).
 
@@ -176,7 +190,7 @@ class ParquetSnapshotTable:
         if files:
             df = spark.read.schema(schema).parquet(*files)
         else:
-            df = spark.createDataFrame([], schema)
+            df = empty_df(spark, schema)
         if with_bucket_col:
             df = df.withColumn(
                 BUCKET_COL, bucket_expr(self.n_buckets, self.meta["bucket_by"])
