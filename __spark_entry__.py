@@ -56,9 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
         F.col("ts"),
         F.col("value"),
     )
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc.sources.lake import empty_df
+
     batch = lww_dedup(feed, ["user_id", "event_type"], "lsn")
-    empty = spark.createDataFrame(
-        [], "user_id long, event_type string, ts timestamp, value double"
+    empty = empty_df(
+        spark,
+        StructType.fromDDL("user_id long, event_type string, ts timestamp, value double"),
     )
     return merge_apply(
         empty, batch, key_cols=["user_id", "event_type"], broadcast_batch=True
@@ -89,8 +94,14 @@ def q_merge_upsert_events(spark, sf):
         F.lit("U").alias("op"),
         "user_id", "event_type", "value",
     )
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc.sources.lake import empty_df
+
     batch = lww_dedup(ev, ["user_id", "event_type"], "lsn")
-    snap = spark.createDataFrame([], "user_id long, event_type string, value double")
+    snap = empty_df(
+        spark, StructType.fromDDL("user_id long, event_type string, value double")
+    )
     return merge_apply(snap, batch, key_cols=["user_id", "event_type"], broadcast_batch=True)
 
 
@@ -304,6 +315,25 @@ def q_hybrid_search_documents(spark, sf):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_suffix_filter_documents(spark, sf):
+    """F6: suffix routing filter (reference: only .xml objects trigger
+    batch jobs, trigger_03_batch_job.py:23-29)."""
+    docs = _t(spark, sf, "documents")
+    return docs.filter(F.col("source").endswith("a")).select("doc_id", "source")
+
+
+def q_null_guard_documents(spark, sf):
+    """P9: null-guarded projection (when/otherwise + coalesce — reference
+    document.py:41-46 optional-field extraction)."""
+    docs = _t(spark, sf, "documents")
+    guarded = F.when(F.col("n_chars") > 300, F.col("lang")).otherwise(F.lit(None))
+    return docs.select(
+        "doc_id",
+        guarded.alias("lang_if_long"),
+        F.coalesce(guarded, F.lit("unknown")).alias("lang_or_unknown"),
+    )
+
+
 def q_lang_id_documents(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", tx.lang_id("text").alias("lang_guess"))
@@ -443,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_topk_documents": q_lexical_topk_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
+        "suffix_filter_documents": q_suffix_filter_documents,
+        "null_guard_documents": q_null_guard_documents,
         "lang_id_documents": q_lang_id_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "quality_score_documents": q_quality_score_documents,
@@ -601,6 +633,16 @@ def oracle_sql() -> dict[str, str]:
                        AS score
             FROM documents
             ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        "suffix_filter_documents": """
+            SELECT doc_id, source FROM documents WHERE source LIKE '%a'
+        """,
+        "null_guard_documents": """
+            SELECT doc_id,
+                   CASE WHEN n_chars > 300 THEN lang ELSE NULL END AS lang_if_long,
+                   coalesce(CASE WHEN n_chars > 300 THEN lang ELSE NULL END,
+                            'unknown') AS lang_or_unknown
+            FROM documents
         """,
         "lang_id_documents": r"""
             WITH c AS (
