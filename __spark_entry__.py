@@ -31,7 +31,8 @@ from transcript_cdc.operators.dedup import lww_dedup, union_dedup
 from transcript_cdc.operators.filters import conjunction, in_filter, point_lookup, range_filter
 from transcript_cdc.operators.merge import merge_apply
 from transcript_cdc.operators.skew import salted_repartition
-from transcript_cdc.plans.search import correlations, hybrid_search, lexical_score
+from transcript_cdc.operators.sessionize import session_summary
+from transcript_cdc.plans.search import bm25_topk, correlations, hybrid_search, lexical_score
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -315,6 +316,21 @@ def q_hybrid_search_documents(spark, sf):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_bm25_topk_documents(spark, sf):
+    """Full BM25 (corpus idf via stats joins) — J5 complete."""
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, _HH_QUERY.split(), id_col="doc_id", k=25)
+
+
+def q_sessionize_events(spark, sf):
+    """Gap-based sessionization (60-min inactivity): per-session summary."""
+    ev = _t(spark, sf, "events")
+    return session_summary(ev, ["user_id"], "ts", gap_minutes=60.0).select(
+        "user_id", "session_idx", "n_events", "session_start", "session_end",
+        F.round("duration_s", 3).alias("duration_s"),
+    )
+
+
 def q_suffix_filter_documents(spark, sf):
     """F6: suffix routing filter (reference: only .xml objects trigger
     batch jobs, trigger_03_batch_job.py:23-29)."""
@@ -473,6 +489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_topk_documents": q_lexical_topk_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
+        "bm25_topk_documents": q_bm25_topk_documents,
+        "sessionize_events": q_sessionize_events,
         "suffix_filter_documents": q_suffix_filter_documents,
         "null_guard_documents": q_null_guard_documents,
         "lang_id_documents": q_lang_id_documents,
@@ -633,6 +651,54 @@ def oracle_sql() -> dict[str, str]:
                        AS score
             FROM documents
             ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        "bm25_topk_documents": rf"""
+            WITH base AS (
+                SELECT doc_id,
+                       len(string_split_regex(lower(text), '\s+')) AS dl,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> list_contains({terms}, x)) AS matched
+                FROM documents
+            ),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+            tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf FROM (
+                    SELECT doc_id, dl, unnest(matched) AS term FROM base)
+                GROUP BY 1, 2, 3
+            ),
+            dft AS (
+                SELECT term, count(*) AS df FROM (
+                    SELECT doc_id, unnest(list_distinct(matched)) AS term FROM base)
+                GROUP BY 1
+            )
+            SELECT doc_id,
+                   round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                             * (tf * 2.2)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                       AS score
+            FROM tf JOIN dft USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        "sessionize_events": """
+            WITH x AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            y AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                FROM x
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(epoch(max(ts)) - epoch(min(ts)), 3) AS duration_s
+            FROM y GROUP BY 1, 2
         """,
         "suffix_filter_documents": """
             SELECT doc_id, source FROM documents WHERE source LIKE '%a'

@@ -38,6 +38,78 @@ def lexical_score(text_col: str, query_terms: Sequence[str]) -> Column:
     return (matched / F.greatest(F.size(words), F.lit(1))).cast("double")
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 25,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Full BM25 (corpus idf, not just tf) — the complete J5 upgrade.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the OpenSearch/Lucene form
+    the reference's BM25 retriever uses (services/search.py:31-34).
+
+    Scale shape: tokenize → explode ONLY query-term matches (the explode is
+    pre-filtered with array_intersect, so fan-out is |matched terms| per
+    doc, not |tokens|) → per-(doc,term) tf aggregate → broadcast join with
+    the tiny per-term df table → per-doc score sum → distributed top-k.
+    Corpus stats (N, avglen) come from one scalar aggregate, crossJoin'd as
+    a 1-row broadcast. Two small shuffles + one scan; no UDFs.
+    """
+    terms = [t.lower() for t in query_terms]
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    base = toks.select(
+        "id",
+        F.size("toks").alias("dl"),
+        F.array_intersect("toks", terms_arr).alias("present"),
+        F.filter("toks", lambda t: F.array_contains(terms_arr, t)).alias("matched"),
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = base.select(
+        "id", "dl", F.explode("matched").alias("term")
+    ).groupBy("id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    df_t = (
+        base.select(F.explode("present").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def embedding_score(text_col: str, query_text: str, dim: int = 16) -> Column:
     """Deterministic semantic scorer: dot of hash-embeddings — the
     SentenceTransformers twin (embedding.py:12-17) made hermetic.
