@@ -1,7 +1,13 @@
+from transcript_cdc.streaming.stateful import conversation_stats_stream
 from transcript_cdc.streaming.stream_ingest import (
     StreamConfig,
     StreamingIngest,
     VERSIONED_TRANSCRIPT_SCHEMA,
 )
 
-__all__ = ["StreamConfig", "StreamingIngest", "VERSIONED_TRANSCRIPT_SCHEMA"]
+__all__ = [
+    "StreamConfig",
+    "StreamingIngest",
+    "VERSIONED_TRANSCRIPT_SCHEMA",
+    "conversation_stats_stream",
+]
