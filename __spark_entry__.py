@@ -398,6 +398,17 @@ def q_ann_topk_embeddings(spark, sf):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+def q_ivf_topk_embeddings(spark, sf):
+    """IVF coarse-quantizer ANN, nprobe=2 (seeded centroids — rows-only
+    check; recall + exactness-at-full-probe covered in tests/test_ann.py)."""
+    from transcript_cdc.functions.vectors import ivf_topk, make_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    cents = make_centroids(64, 8)
+    out = ivf_topk(emb, "embedding", _EMBED_QUERY, cents, 10, nprobe=2, id_col="vec_id")
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 def q_correlations_documents(spark, sf):
     """More-like-this by doc id (hash-embedding scored — rows-only check)."""
     docs = _t(spark, sf, "documents")
@@ -499,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk_embeddings": q_ann_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "correlations_documents": q_correlations_documents,
         "multimodal_nbytes": q_multimodal_nbytes,
         "window_hourly_events": q_window_hourly_events,

@@ -76,3 +76,28 @@ def test_embedding_near_dup_finds_clusters_only(clustered):
     id2c = {r.vec_id: r.cluster for r in clustered["df"].collect()}
     for p in pairs:
         assert id2c[p.id_a] == id2c[p.id_b], "cross-cluster pair above 0.98"
+
+
+def test_ivf_topk_recall_on_clusters(clustered):
+    from transcript_cdc.functions.vectors import ivf_topk, make_centroids
+
+    cents = make_centroids(DIM, 8, seed=3)
+    recalls = []
+    for ci in [2, 9, 21]:
+        q = [float(x) for x in clustered["centers"][ci]]
+        exact = {r.vec_id for r in cosine_topk(clustered["df"], "embedding", q, PER_CLUSTER, id_col="vec_id").collect()}
+        approx = {r.vec_id for r in ivf_topk(clustered["df"], "embedding", q, cents, PER_CLUSTER, nprobe=2, id_col="vec_id").collect()}
+        recalls.append(len(exact & approx) / len(exact))
+    # a tight cluster lands in one cell; the query probes that cell
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_full_probe_equals_exact(clustered):
+    """nprobe = n_cells degenerates to the exact scan."""
+    from transcript_cdc.functions.vectors import ivf_topk, make_centroids
+
+    cents = make_centroids(DIM, 4, seed=3)
+    q = [float(x) for x in clustered["centers"][5]]
+    exact = [(r.vec_id, round(r.score, 6)) for r in cosine_topk(clustered["df"], "embedding", q, 10, id_col="vec_id").collect()]
+    full = [(r.vec_id, round(r.score, 6)) for r in ivf_topk(clustered["df"], "embedding", q, cents, 10, nprobe=4, id_col="vec_id").collect()]
+    assert exact == full

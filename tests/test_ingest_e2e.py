@@ -266,3 +266,27 @@ def test_hot_key_stream_salted_and_correct(spark, tmp_path):
     assert choose_salt([("c", 2_000_000)]) == 4
     assert choose_salt([("c", 100)]) == 1
     _assert_equal(_engine_state(job), oracle)
+
+
+def test_time_travel_reconstructs_each_epoch(spark, feed, tmp_path):
+    """read_snapshot(as_of_epoch=k) must equal an oracle replay truncated at
+    that epoch's lsn_hi — full history reconstruction from manifests."""
+    root = str(tmp_path / "table")
+    job = CdcIngestJob(
+        spark, feed["dir"], root, IngestConfig(n_buckets=8, epoch_events=300)
+    )
+    job.run()
+    epochs = job.table.committed_epochs()
+    assert len(epochs) >= 3
+    events = generate_events(SPEC)
+    for k in epochs[::2]:
+        m = job.table.read_manifest(k)
+        truncated = replay_oracle(events[events["lsn"] <= m["lsn_hi"]], normalize=True)
+        got = (
+            job.table.read_snapshot(spark, as_of_epoch=k)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(truncated), f"epoch {k}"
+        assert got["text"].tolist() == truncated["text"].tolist(), f"epoch {k}"
