@@ -290,3 +290,31 @@ def test_time_travel_reconstructs_each_epoch(spark, feed, tmp_path):
         )
         assert len(got) == len(truncated), f"epoch {k}"
         assert got["text"].tolist() == truncated["text"].tolist(), f"epoch {k}"
+
+
+def test_point_read_prunes_to_one_bucket(spark, feed, tmp_path):
+    """read_conversation must route to exactly one bucket's files and
+    return the oracle's rows for that conversation (cow and mor)."""
+    oracle = feed["oracle"]
+    conv = oracle["conv_id"].iloc[0]
+    want = oracle[oracle["conv_id"] == conv]
+
+    for storage in ["cow", "mor"]:
+        job = CdcIngestJob(
+            spark, feed["dir"], str(tmp_path / f"t_{storage}"),
+            IngestConfig(n_buckets=8, epoch_events=10**9, storage=storage),
+        )
+        job.run()
+        got = (
+            job.table.read_conversation(spark, conv)
+            .toPandas()
+            .sort_values("turn_idx")
+            .reset_index(drop=True)
+        )
+        assert got["text"].tolist() == want["text"].tolist(), storage
+        # pruning really happened: the plan reads only the conv's bucket
+        b = job.table.bucket_of(spark, conv)
+        state, _ = job.table._current_state()
+        all_files = {f for fl in state.values() for f in fl}
+        bucket_files = set(state.get(str(b), []))
+        assert bucket_files and bucket_files < all_files

@@ -197,6 +197,27 @@ class ParquetSnapshotTable:
             )
         return df
 
+    def bucket_of(self, spark: SparkSession, key_value: str) -> int:
+        """Bucket id for one key value (1-row JVM job — xxhash64 has no
+        public Python twin, and bucket routing must match the writer
+        bit-for-bit)."""
+        row = spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets))
+            .cast("int")
+            .alias("b")
+        ).first()
+        return int(row["b"])
+
+    def read_conversation(
+        self, spark: SparkSession, conv_id: str, with_bucket_col: bool = False
+    ) -> DataFrame:
+        """Point-read one conversation touching ONLY its bucket's files —
+        the 100TB lookup path (bucket pruning happens before any file I/O;
+        the conv_id filter then prunes row groups within the bucket)."""
+        b = self.bucket_of(spark, conv_id)
+        df = self.read_snapshot(spark, buckets=[b], with_bucket_col=with_bucket_col)
+        return df.filter(F.col(self.meta["bucket_by"]) == F.lit(conv_id))
+
     # ---------- write / commit ----------
 
     def is_committed(self, epoch: int) -> bool:
@@ -343,6 +364,14 @@ class MergeOnReadTable(ParquetSnapshotTable):
         if not with_version_cols:
             df = df.drop(lsn_col, op_col)
         return df
+
+    def read_conversation(
+        self, spark: SparkSession, conv_id: str, with_bucket_col: bool = False
+    ) -> DataFrame:
+        """Bucket-pruned point read with the LWW fold applied (live rows)."""
+        b = self.bucket_of(spark, conv_id)
+        df = self.read_resolved(spark, buckets=[b])
+        return df.filter(F.col(self.meta["bucket_by"]) == F.lit(conv_id))
 
     # ---------- compaction ----------
 
