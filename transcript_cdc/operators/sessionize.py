@@ -15,8 +15,20 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """Epoch seconds (double, µs-exact) for TIMESTAMP **and** TIMESTAMP_NTZ.
+
+    Spark 4 forbids ``CAST(TIMESTAMP_NTZ AS DOUBLE)`` (the round-1 driver
+    failure: the driver session reads feed parquet as NTZ). Routing through
+    ``timestamp_ltz`` is legal from both timestamp types; the NTZ→LTZ
+    interpretation uses the session timezone, which cancels out everywhere
+    this helper is used (gaps and durations are differences)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1e6)
 
 
 def sessionize(
@@ -33,7 +45,7 @@ def sessionize(
     prev = F.lag(F.col(ts_col)).over(w)
     is_new = (
         prev.isNull()
-        | (F.col(ts_col).cast("double") - prev.cast("double") > F.lit(gap_s))
+        | (epoch_seconds(ts_col) - epoch_seconds(prev) > F.lit(gap_s))
     ).cast("long")
     return df.withColumn(
         session_col,
@@ -57,6 +69,6 @@ def session_summary(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double")))
+        (F.max(epoch_seconds(ts_col)) - F.min(epoch_seconds(ts_col)))
         .alias("duration_s"),
     )
