@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Sandbox measurement: root disk writes at ~8 MB/s, so shuffle scratch goes
+# to tmpfs here. Library default is plain disk (tmpfs is opt-in, session.py).
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+
 
 def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "mor")) -> dict:
     """Replay the same seeded feed in each storage mode; equality-check each.

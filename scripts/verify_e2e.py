@@ -15,6 +15,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")  # sandbox: disk is ~8 MB/s
+
 import duckdb
 import pandas as pd
 
@@ -36,16 +38,14 @@ job.run()
 
 
 def manifest_files(root):
-    files = []
+    """Independent manifest fold (no engine code): copy-on-write manifests
+    REPLACE a bucket's file list; append (merge-on-read delta) manifests
+    list only the files they added and EXTEND the bucket."""
+    state = {}
     for mf in sorted(glob.glob(f"{root}/_commits/epoch=*.json")):
         m = json.load(open(mf))
-        buckets = {}
-        # fold copy-on-write: later manifests replace bucket file lists
-        files.append(m["buckets"])
-    state = {}
-    for b in files:
-        for k, v in b.items():
-            state[k] = v
+        for k, v in m["buckets"].items():
+            state[k] = state.get(k, []) + v if m.get("append") else v
     out = []
     for v in state.values():
         out.extend(os.path.join(root, f) for f in v)

@@ -154,9 +154,16 @@ def test_mor_chunked_replay_matches_oracle(spark, feed, tmp_path):
     results = job.run()
     assert len(results) > 3
     _assert_equal(_engine_state(job), feed["oracle"])
-    # delta chains really accumulate (append commits, no rewrite)
-    m_last = job.table.last_committed()
-    assert any(len(files) > 1 for files in m_last["buckets"].values())
+    # delta chains really accumulate (append commits, no rewrite): the
+    # manifests are per-epoch deltas, so accumulation shows in the FOLDED
+    # state, while each individual manifest stays O(epoch)-sized
+    state, _ = job.table._current_state()
+    assert any(len(files) > 1 for files in state.values())
+    for e in job.table.committed_epochs():
+        m = job.table.read_manifest(e)
+        assert m["append"] is True
+        for files in m["buckets"].values():
+            assert all(f"epoch={e:010d}" in f for f in files)
 
 
 def test_mor_autocompact_and_resume(spark, feed, tmp_path):

@@ -124,11 +124,12 @@ def minhash_near_dup_pairs(
     banded = sigd.select(
         "id", "sig", F.explode(lsh_band_buckets(F.col("sig"), bands, rows_per_band)).alias("bucket")
     )
-    # Signatures feed both sides of the self-join (and Catalyst's project
-    # collapsing would otherwise inline the minhash into every reference):
-    # materialize once. At corpus scale this is N·K longs — pennies next to
-    # recomputing the signatures per join side.
-    banded = banded.persist()
+    # Both join sides recompute the signatures (no persist: a cached DF here
+    # leaks blocks for the session's lifetime — round-1 advice — and with
+    # the let-bound single-pass shingling the recompute is cheap: measured
+    # identical wall time with and without the cache at sf0.1). At corpus
+    # scale the right reuse is write-time: materialize (id, sig, bucket) to
+    # storage once and join that table to itself.
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

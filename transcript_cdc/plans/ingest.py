@@ -64,6 +64,7 @@ class IngestConfig:
     #        the Iceberg-v2 upsert shape for high-update feeds).
     storage: str = "cow"
     compact_every: int = 0  # mor only: auto-compact every K epochs (0 = never)
+    expire_on_compact: bool = False  # GC superseded files after each compaction
     extra: dict = field(default_factory=dict)
 
 
@@ -284,6 +285,10 @@ class CdcIngestJob:
                 self.table.compact(
                     self.spark, write_partitions=self.cfg.write_partitions
                 )
+                if self.cfg.expire_on_compact:
+                    # The compaction epoch replaced every bucket, so all
+                    # older delta/base generations are now unreferenced.
+                    self.table.expire()
         return results
 
     # ---------- reads ----------

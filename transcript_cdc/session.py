@@ -35,15 +35,23 @@ def _package_zip() -> str:
 
 
 def _scratch_dir() -> str:
-    """Fast scratch for shuffle/spill: $SPARK_GRAFT_LOCAL_DIR > /dev/shm > tmp."""
+    """Shuffle/spill scratch: $SPARK_GRAFT_LOCAL_DIR > opt-in tmpfs > tmp.
+
+    tmpfs (/dev/shm) is OPT-IN via SPARK_GRAFT_TMPFS=1 (round-1 advice):
+    RAM-backed scratch fills precisely under memory pressure, so it must
+    never be a silent default on a real deployment — spill should go to
+    disk. The sandbox entry points (bench.py, tests/conftest.py,
+    scripts/verify_e2e.py) set the flag because this host's root disk
+    writes at ~8 MB/s and would otherwise dominate every measurement."""
     override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if override:
         return override
-    shm = "/dev/shm"
-    if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        d = os.path.join(shm, "spark-local")
-        os.makedirs(d, exist_ok=True)
-        return d
+    if os.environ.get("SPARK_GRAFT_TMPFS") == "1":
+        shm = "/dev/shm"
+        if os.path.isdir(shm) and os.access(shm, os.W_OK):
+            d = os.path.join(shm, "spark-local")
+            os.makedirs(d, exist_ok=True)
+            return d
     return tempfile.gettempdir()
 
 

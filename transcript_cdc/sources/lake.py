@@ -153,16 +153,25 @@ class ParquetSnapshotTable:
         return self.read_manifest(epochs[-1]) if epochs else None
 
     def _current_state(self, as_of_epoch: int | None = None) -> tuple[dict, T.StructType]:
-        """Fold manifests oldest→newest: per-bucket file lists (copy-on-write
-        replace) + latest schema."""
+        """Fold manifests oldest→newest: per-bucket file lists + latest schema.
+
+        A copy-on-write manifest REPLACES each listed bucket's files; an
+        ``append`` manifest (merge-on-read delta commit) lists ONLY the files
+        it added, extending the bucket — so MOR manifests stay O(epoch), not
+        O(table), and commit does no prior-state fold (round-1 advice:
+        cumulative manifests grew O(epochs²) JSON work)."""
         buckets: dict[str, list[str]] = {}
         schema = T.StructType.fromJson(json.loads(self.meta["created_schema"]))
         for epoch in self.committed_epochs():
             if as_of_epoch is not None and epoch > as_of_epoch:
                 break
             m = self.read_manifest(epoch)
-            for b, files in m["buckets"].items():
-                buckets[b] = files
+            if m.get("append"):
+                for b, files in m["buckets"].items():
+                    buckets[b] = buckets.get(b, []) + files
+            else:
+                for b, files in m["buckets"].items():
+                    buckets[b] = files
             if m.get("schema"):
                 schema = T.StructType.fromJson(json.loads(m["schema"]))
         return buckets, schema
@@ -181,6 +190,12 @@ class ParquetSnapshotTable:
     ) -> DataFrame:
         """Read the committed state (optionally only selected buckets /
         time-traveled to an epoch). Only manifested files are read."""
+        expired = int(self.meta.get("expired_before", -1))
+        if as_of_epoch is not None and as_of_epoch < expired:
+            raise ValueError(
+                f"cannot time-travel to epoch {as_of_epoch}: files for "
+                f"snapshots before epoch {expired} were removed by expire()"
+            )
         state, schema = self._current_state(as_of_epoch)
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
         files: list[str] = []
@@ -251,7 +266,6 @@ class ParquetSnapshotTable:
         """
         if self.is_committed(epoch):
             return False
-        prior_state, _ = self._current_state() if append else ({}, None)
 
         epoch_dir = os.path.join(self.data_dir, f"epoch={epoch:010d}")
         # A crashed prior attempt may have left orphan files; they were never
@@ -269,11 +283,12 @@ class ParquetSnapshotTable:
 
         # Inventory written files per bucket. In COW mode, touched buckets
         # that ended empty (all rows deleted) get [] so they shadow prior
-        # files; in append (MOR) mode an empty delta keeps the prior files.
-        bucket_files: dict[str, list[str]] = {
-            str(int(b)): (list(prior_state.get(str(int(b)), [])) if append else [])
-            for b in touched_buckets
-        }
+        # files; in append (MOR) mode the manifest lists ONLY added files
+        # (the read-time fold extends prior buckets), so an empty delta
+        # simply contributes nothing.
+        bucket_files: dict[str, list[str]] = (
+            {} if append else {str(int(b)): [] for b in touched_buckets}
+        )
         bucket_counts: dict[str, int] = {}
         if os.path.isdir(epoch_dir):
             for entry in os.listdir(epoch_dir):
@@ -286,13 +301,11 @@ class ParquetSnapshotTable:
                     for f in sorted(os.listdir(d))
                     if f.endswith(".parquet")
                 ]
-                if append:
-                    bucket_files[b] = list(prior_state.get(b, [])) + rel
-                else:
-                    bucket_files[b] = rel
+                bucket_files[b] = rel
 
         manifest = {
             "epoch": epoch,
+            "append": bool(append),
             "lsn_lo": lsn_lo,
             "lsn_hi": lsn_hi,
             "schema": schema.json(),
@@ -307,6 +320,48 @@ class ParquetSnapshotTable:
         }
         _atomic_write_json(self._manifest_path(epoch), manifest)
         return True
+
+    # ---------- maintenance ----------
+
+    def expire(self, keep_from_epoch: int | None = None) -> dict:
+        """Iceberg-style snapshot expiry: delete data files reachable only
+        from snapshots older than ``keep_from_epoch`` (default: latest).
+
+        Both storage modes accumulate superseded files — COW keeps every
+        pre-rewrite bucket generation, MOR keeps compacted-away deltas
+        (round-1 advice: disk grows without bound). Kept snapshots
+        (``epoch >= keep_from_epoch`` plus the latest) stay byte-identical
+        and time-travelable; older ``as_of_epoch`` reads raise. Crash-safe:
+        only files referenced by NO kept manifest fold are unlinked, and the
+        ``expired_before`` marker is committed before any unlink so a crash
+        mid-delete can never leave a readable-but-missing snapshot."""
+        epochs = self.committed_epochs()
+        if not epochs:
+            return {"removed_files": 0, "kept_epochs": []}
+        keep_from = epochs[-1] if keep_from_epoch is None else int(keep_from_epoch)
+        kept = [e for e in epochs if e >= keep_from] or [epochs[-1]]
+        referenced: set[str] = set()
+        for e in kept:
+            state, _ = self._current_state(as_of_epoch=e)
+            for files in state.values():
+                referenced.update(files)
+
+        meta = dict(self.meta)
+        meta["expired_before"] = keep_from
+        _atomic_write_json(os.path.join(self.commits_dir, "table.json"), meta)
+        self._meta = meta
+
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.unlink(full)
+                    removed += 1
+            if dirpath != self.data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {"removed_files": removed, "kept_epochs": kept}
 
 
 class MergeOnReadTable(ParquetSnapshotTable):

@@ -26,6 +26,8 @@ At scale this is the deployment mode for a live binlog: the batch job
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass
 
@@ -90,6 +92,34 @@ class StreamingIngest:
                 table_root, base, n_buckets=self.cfg.n_buckets,
                 key_cols=schemas.KEY_COLS,
             )
+        else:
+            # foreachBatch epoch_ids are only meaningful RELATIVE TO ONE
+            # checkpoint: a fresh checkpoint restarts them at 0, and the
+            # is_committed() guard would then silently skip micro-batches of
+            # NEW data against a previously-populated table. Fail fast here;
+            # the per-commit checkpoint-id validation in apply_batch is the
+            # second layer.
+            if self.table.committed_epochs() and self._checkpoint_id() is None:
+                raise ValueError(
+                    f"table {table_root} already has committed epochs but "
+                    f"checkpoint {checkpoint_dir} is fresh — its batch ids "
+                    "would restart at 0 and collide with the ledger, which "
+                    "silently drops new data. Resume with the original "
+                    "checkpoint, or start against a fresh table root (use "
+                    "CdcIngestJob for batch backfill into an existing table)."
+                )
+
+    def _checkpoint_id(self) -> str | None:
+        """The streaming query id Spark pins inside the checkpoint dir —
+        the identity that makes foreachBatch epoch_ids comparable."""
+        p = os.path.join(self.checkpoint_dir, "metadata")
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f).get("id")
+        except (OSError, ValueError):
+            return None
 
     # ---------- the per-epoch apply (foreachBatch target) ----------
 
@@ -98,7 +128,24 @@ class StreamingIngest:
 
         Public so tests (and backfill tools) can drive it directly; the
         streaming query calls it via foreachBatch."""
+        ckpt_id = self._checkpoint_id()
         if self.table.is_committed(epoch_id):
+            # Under a checkpoint, skipping is safe ONLY if the committed
+            # manifest came from THIS checkpoint (a Spark re-delivery after
+            # restart): an epoch id minted by a different checkpoint — or by
+            # the batch job — is a collision, and skipping would silently
+            # drop this batch's data. Without a checkpoint (direct drive /
+            # backfill tooling) the caller owns epoch numbering and the
+            # classic idempotent-skip applies.
+            prior = self.table.read_manifest(epoch_id)
+            prior_ckpt = (prior.get("metrics") or {}).get("checkpoint_id")
+            if ckpt_id is not None and prior_ckpt != ckpt_id:
+                raise RuntimeError(
+                    f"epoch {int(epoch_id)} was committed by a different "
+                    f"writer (checkpoint {prior_ckpt!r}, this query "
+                    f"{ckpt_id!r}); refusing to skip — restart from the "
+                    "original checkpoint or a fresh table root."
+                )
             return {"epoch": int(epoch_id), "skipped": "already-committed"}
         t0 = time.time()
 
@@ -152,6 +199,7 @@ class StreamingIngest:
                 new_schema,
                 {
                     "mode": "streaming",
+                    "checkpoint_id": ckpt_id,
                     "keys": n_keys,
                     "duration_s": round(time.time() - t0, 3),
                 },
