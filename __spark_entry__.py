@@ -300,21 +300,24 @@ def q_lexical_topk_documents(spark, sf):
 
 
 def q_minhash_near_dup_documents(spark, sf):
-    """Near-dup candidate pairs (xxhash64 minhash — not SQL-expressible;
-    rows-only check)."""
+    """Near-dup candidate pairs. Portable md5 hashing (functions.portable)
+    so the full shingle→minhash→band→bucket-join pipeline is DuckDB-
+    verifiable; production default stays xxhash64."""
     docs = _t(spark, sf, "documents")
     return minhash_near_dup_pairs(
-        docs, "text", "doc_id", shingle_n=3, k=16, bands=4, jaccard_threshold=0.5
+        docs, "text", "doc_id", shingle_n=3, k=16, bands=4,
+        jaccard_threshold=0.5, hash_fn="md5",
     )
 
 
 def q_hybrid_search_documents(spark, sf):
-    """Hybrid lexical+hash-embedding search (hash_embed not SQL-expressible;
-    rows-only check)."""
+    """Hybrid lexical+hash-embedding search (portable hashing → full
+    DuckDB oracle for both branches, union-dedup and blended rerank)."""
     docs = _t(spark, sf, "documents")
     return hybrid_search(
         docs, _HH_QUERY, id_cols=["doc_id"], text_col="text",
         filters=[F.col("n_chars") > 50], top_k_final=20, per_retriever_k=25,
+        hash_fn="md5",
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -377,24 +380,30 @@ def q_quality_score_documents(spark, sf):
 
 
 def q_simhash_documents(spark, sf):
-    """SimHash signatures (xxhash64-based — rows-only check)."""
+    """SimHash signatures (portable md5 hashing → exact DuckDB oracle;
+    single-pass vote aggregation)."""
     docs = _t(spark, sf, "documents")
-    return docs.select("doc_id", simhash("text", bits=32).alias("sig"))
+    return docs.select(
+        "doc_id", simhash("text", bits=32, hash_fn="md5").alias("sig")
+    )
 
 
 def q_embedding_near_dup(spark, sf):
-    """Embedding-cosine near-dup pairs via hyperplane LSH buckets
-    (rows-only check)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH buckets, with a
+    generated DuckDB twin (same plane literals, same double math). 4 planes
+    / cos≥0.4 so the fixtures' random vectors actually produce pairs (the
+    round-1 0.9 threshold matched nothing — a vacuous rows-only pass)."""
     emb = _t(spark, sf, "embeddings")
-    planes = make_planes(64, 6)
+    planes = make_planes(64, 4)
     return embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", planes=planes, cosine_threshold=0.9
+        emb, "embedding", "vec_id", planes=planes, cosine_threshold=0.4
     ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 def q_ann_topk_embeddings(spark, sf):
-    """LSH-bucketed approximate top-k (rows-only check; recall measured in
-    tests against the exact scan)."""
+    """LSH-bucketed approximate top-k, with a generated DuckDB twin (same
+    plane literals and bucket filter — the approximation itself is
+    oracle-checked; recall vs exact is asserted in tests/test_ann.py)."""
     emb = _t(spark, sf, "embeddings")
     planes = make_planes(64, 4)
     out = lsh_candidate_topk(emb, "embedding", _EMBED_QUERY, planes, 10, id_col="vec_id")
@@ -402,8 +411,9 @@ def q_ann_topk_embeddings(spark, sf):
 
 
 def q_ivf_topk_embeddings(spark, sf):
-    """IVF coarse-quantizer ANN, nprobe=2 (seeded centroids — rows-only
-    check; recall + exactness-at-full-probe covered in tests/test_ann.py)."""
+    """IVF coarse-quantizer ANN, nprobe=2, with a generated DuckDB twin
+    (same centroid literals, argmax cell assignment and probe list;
+    recall + exactness-at-full-probe covered in tests/test_ann.py)."""
     from transcript_cdc.functions.vectors import ivf_topk, make_centroids
 
     emb = _t(spark, sf, "embeddings")
@@ -413,10 +423,12 @@ def q_ivf_topk_embeddings(spark, sf):
 
 
 def q_correlations_documents(spark, sf):
-    """More-like-this by doc id (hash-embedding scored — rows-only check)."""
+    """More-like-this by doc id (portable hash embedding → the source-row
+    embed, over-fetch, self-override and final cut all DuckDB-verified)."""
     docs = _t(spark, sf, "documents")
     return correlations(
-        docs, {"doc_id": 7}, id_cols=["doc_id"], text_col="text", k=10
+        docs, {"doc_id": 7}, id_cols=["doc_id"], text_col="text", k=10,
+        hash_fn="md5",
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -525,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from transcript_cdc import oracle_twins as ot
+
     stop = "['the','a','of','and','to','in','is','it','that','for']"
     terms = "[" + ",".join(f"'{t}'" for t in _HH_QUERY.lower().split()) + "]"
     return {
@@ -795,9 +809,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE rk <= 3
         """,
-        # Rows-only (intentional omissions — not expressible in DuckDB):
-        # minhash_near_dup_documents / hybrid_search_documents /
-        # simhash_documents (xxhash64-based), embedding_near_dup /
-        # ann_topk_embeddings (seeded hyperplane LSH), correlations_documents
-        # (hash-embedding scorer).
+        # Generated twins (transcript_cdc/oracle_twins.py) — same seeded
+        # constants and IEEE-ordered float math as the Spark queries:
+        "ann_topk_embeddings": ot.ann_topk_sql(
+            _EMBED_QUERY, make_planes(64, 4), 10
+        ),
+        "ivf_topk_embeddings": _ivf_oracle(),
+        "embedding_near_dup": ot.embedding_near_dup_sql(
+            make_planes(64, 4), 0.4, 64
+        ),
+        "minhash_near_dup_documents": ot.minhash_pairs_sql(
+            shingle_n=3, k=16, bands=4, seed=7, jaccard_threshold=0.5
+        ),
+        "simhash_documents": ot.simhash_sql(bits=32),
+        "hybrid_search_documents": ot.hybrid_search_sql(
+            _HH_QUERY, k_final=20, per_k=25
+        ),
+        "correlations_documents": ot.correlations_sql(source_id=7, k=10),
     }
+
+
+def _ivf_oracle() -> str:
+    from transcript_cdc import oracle_twins as ot
+    from transcript_cdc.functions.vectors import make_centroids
+
+    return ot.ivf_topk_sql(_EMBED_QUERY, make_centroids(64, 8), 10, nprobe=2)

@@ -178,3 +178,78 @@ def test_multimodal_feature_extraction(spark):
     assert abs(sum(out[1].feature) - 1.0) < 1e-6  # histogram normalized
     assert out[2].n_bytes == 7 and out[2].feature[7] == 1.0  # 0xff % 8 == 7
     assert out[3].n_bytes == 0 and out[3].feature == [0.0] * 8
+
+
+# ---------------- single-pass simhash & portable-hash twins ----------------
+
+
+def _simhash_round1(col, bits=32):
+    """The round-1 multi-pass simhash (one aggregate per bit) — kept here
+    as the reference implementation for the single-pass rewrite."""
+    from transcript_cdc.functions.expr import bind
+
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.lower(F.trim(c)), r"\s+")
+
+    def body(hashes):
+        def bit_votes(i):
+            return F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+
+        sig = F.lit(0).cast("long")
+        for i in range(bits):
+            sig = sig.bitwiseOR(
+                F.when(bit_votes(i) > 0, F.lit(2**i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return sig
+
+    return bind(F.transform(words, lambda w: F.xxhash64(w)), body)
+
+
+def test_simhash_single_pass_matches_round1(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    df = docs.select(
+        "doc_id",
+        simhash("text", bits=32).alias("new"),
+        _simhash_round1("text", bits=32).alias("old"),
+    )
+    assert df.filter(F.col("new") != F.col("old")).count() == 0
+
+
+def test_portable_simhash_matches_python_twin(spark):
+    import re
+
+    from transcript_cdc.functions.portable import py_hash32
+
+    def py_simhash(text, bits=32):
+        toks = re.split(r"\s+", text.strip().lower()) if text.strip() else [""]
+        votes = [0] * bits
+        for w in toks:
+            h = py_hash32(w)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum((1 << i) for i in range(bits) if votes[i] > 0)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    rows = docs.select(
+        "text", simhash("text", bits=32, hash_fn="md5").alias("sig")
+    ).collect()
+    for r in rows:
+        assert r["sig"] == py_simhash(r["text"]), r["text"][:50]
+
+
+def test_portable_hash_embed_matches_python_twin(spark):
+    from transcript_cdc.functions.portable import py_hash_embed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    rows = docs.select(
+        "text", hash_embed("text", dim=16, hash_fn="md5").alias("v")
+    ).collect()
+    for r in rows:
+        assert list(r["v"]) == py_hash_embed(r["text"], 16), r["text"][:50]

@@ -158,19 +158,23 @@ def ivf_topk(
     return cosine_topk(cand, vec_col, query, k, id_col=id_col, score_name=score_name)
 
 
-def hash_embed(col: Column | str, dim: int = 16) -> Column:
+def hash_embed(col: Column | str, dim: int = 16, hash_fn: str = "xx64") -> Column:
     """Deterministic hash-based feature vector for text — the hermetic
     stand-in for the reference's SentenceTransformers embedder
     (pipeline.py:47-50): token → hash bucket → L2-normalized counts.
-    Pure built-ins: split/hash/aggregate, no Python, no model."""
+    Pure built-ins: split/hash/aggregate, no Python, no model.
+    hash_fn="md5" selects the portable hash (functions.portable) whose
+    DuckDB/Python twins make hash-embedding queries oracle-verifiable."""
     from transcript_cdc.functions.expr import bind
+    from transcript_cdc.functions.portable import portable_hash32
 
     c = F.col(col) if isinstance(col, str) else col
     words = F.split(F.lower(F.trim(c)), r"\s+")
+    tok_hash = portable_hash32 if hash_fn == "md5" else F.xxhash64
     # let-bind twice: the token-bucket array is evaluated once (not once per
     # output dimension), and the unnormalized count vector once (not once
     # per element during normalization).
-    buckets = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(dim)))
+    buckets = F.transform(words, lambda w: F.pmod(tok_hash(w), F.lit(dim)))
 
     def body(bk: Column) -> Column:
         def bucket_count(i: int):

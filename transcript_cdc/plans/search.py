@@ -110,21 +110,32 @@ def bm25_topk(
     )
 
 
-def embedding_score(text_col: str, query_text: str, dim: int = 16) -> Column:
+def embedding_score(
+    text_col: str, query_text: str, dim: int = 16, hash_fn: str = "xx64"
+) -> Column:
     """Deterministic semantic scorer: dot of hash-embeddings — the
     SentenceTransformers twin (embedding.py:12-17) made hermetic.
 
-    The query embedding is computed ONCE driver-side (a 1-row job) and
-    inlined as a literal array — Catalyst does not constant-fold
-    higher-order-function trees, so embedding the query lazily would re-run
-    hash_embed(query) for every scored row. This mirrors the reference
-    embedding the query once per request (services/search.py:72-76)."""
-    from pyspark.sql import SparkSession
+    The query embedding is computed ONCE driver-side and inlined as a
+    literal array — Catalyst does not constant-fold higher-order-function
+    trees, so embedding the query lazily would re-run hash_embed(query) for
+    every scored row. This mirrors the reference embedding the query once
+    per request (services/search.py:72-76). With the portable md5 hash the
+    query vector comes from the pure-Python twin (no 1-row Spark job at
+    all); xx64 needs the JVM for xxhash64."""
+    if hash_fn == "md5":
+        from transcript_cdc.functions.portable import py_hash_embed
 
-    spark = SparkSession.getActiveSession()
-    qvec = spark.range(1).select(hash_embed(F.lit(query_text), dim).alias("q")).first()["q"]
+        qvec = py_hash_embed(query_text, dim)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        qvec = spark.range(1).select(
+            hash_embed(F.lit(query_text), dim, hash_fn).alias("q")
+        ).first()["q"]
     q = F.array(*[F.lit(float(x)) for x in qvec])
-    return dot(hash_embed(F.col(text_col), dim), q).cast("double")
+    return dot(hash_embed(F.col(text_col), dim, hash_fn), q).cast("double")
 
 
 def hybrid_search(
@@ -135,6 +146,7 @@ def hybrid_search(
     filters: Sequence[Column] = (),
     top_k_final: int = 50,
     per_retriever_k: int = 25,
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """Filtered hybrid top-k: lexical + semantic branches, union-dedup by id
     keeping max score, rerank, cut to top_k_final (config.py:14 top_k=50,
@@ -147,13 +159,14 @@ def hybrid_search(
         "score", per_retriever_k, tiebreak=id_cols,
     )
     sem = top_k(
-        base.withColumn("score", embedding_score(text_col, query_text)),
+        base.withColumn("score", embedding_score(text_col, query_text, hash_fn=hash_fn)),
         "score", per_retriever_k, tiebreak=id_cols,
     )
     merged = union_dedup(lex, sem, id_cols, "score", tiebreak=F.col(id_cols[0]))
     # rerank: blend lexical and semantic (the cross-encoder stand-in)
     blended = (
-        lexical_score(text_col, terms) + embedding_score(text_col, query_text)
+        lexical_score(text_col, terms)
+        + embedding_score(text_col, query_text, hash_fn=hash_fn)
     ) / 2
     return rerank(merged, blended, top_k_final, tiebreak=id_cols)
 
@@ -165,6 +178,7 @@ def correlations(
     text_col: str = "text",
     filters: Sequence[Column] = (),
     k: int = 10,
+    hash_fn: str = "xx64",
 ) -> DataFrame:
     """More-like-this by key: point-lookup source text, score everything
     against it, over-fetch 2k, rerank to k, self-score override."""
@@ -173,7 +187,9 @@ def correlations(
         return snapshot.limit(0)
     src_text = src[0] or ""
     base = snapshot.filter(conjunction(*filters))
-    scored = base.withColumn("score", embedding_score(text_col, src_text))
+    scored = base.withColumn(
+        "score", embedding_score(text_col, src_text, hash_fn=hash_fn)
+    )
     cand = top_k(scored, "score", 2 * k, tiebreak=id_cols)
     is_self = conjunction(
         *[F.col(c) == F.lit(v) for c, v in source_key.items() if c in snapshot.columns]
