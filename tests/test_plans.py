@@ -1,0 +1,151 @@
+"""Physical plan-shape regression tests (round-1 verdict item 7).
+
+The §4 pushdown/plan story must be enforceable, not hand-captured prose:
+- top-k plans as TakeOrderedAndProject (distributed heap, never full sort);
+- the WAL range scan pushes lsn bounds into the parquet scan;
+- dimension joins broadcast the small side (no shuffle of the fact side);
+- the bucket-pruned COW point read has NO exchange at all;
+- the MOR resolved read (bucket-local fold) has NO parquet FileScan and
+  NO data exchange — its only exchange moves the ≤n_buckets file-list rows;
+- the declarative window fold and the bucket-local fold agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from transcript_cdc.datagen import StreamSpec, write_change_feed
+from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
+from transcript_cdc.sources.changes import ChangeFeed
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def mor_job(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("plans")
+    spec = StreamSpec(n_conversations=120, avg_turns=4, update_ratio=0.4,
+                      delete_ratio=0.1, seed=5, events_per_file=300)
+    feed = str(base / "feed")
+    write_change_feed(spec, feed)
+    job = CdcIngestJob(
+        spark, feed, str(base / "mor"),
+        IngestConfig(n_buckets=8, epoch_events=400, storage="mor"),
+    )
+    job.run()
+    return job
+
+
+@pytest.fixture(scope="module")
+def cow_job(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("plans_cow")
+    spec = StreamSpec(n_conversations=120, avg_turns=4, update_ratio=0.4,
+                      delete_ratio=0.1, seed=5, events_per_file=300)
+    feed = str(base / "feed")
+    write_change_feed(spec, feed)
+    job = CdcIngestJob(
+        spark, feed, str(base / "cow"),
+        IngestConfig(n_buckets=8, epoch_events=400, storage="cow"),
+    )
+    job.run()
+    return job
+
+
+def test_topk_plans_as_take_ordered(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    df = ev.orderBy(F.col("value").desc(), F.col("event_id")).limit(20)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p  # distributed heap + driver merge, no shuffle
+
+
+def test_wal_range_scan_pushes_lsn_filter(spark, mor_job):
+    feed = ChangeFeed(spark, mor_job.feed.path)
+    df = feed.read_range(100, 500)
+    p = plan_of(df)
+    assert "PushedFilters" in p
+    assert "GreaterThan(lsn,100)" in p and "LessThanOrEqual(lsn,500)" in p
+
+
+def test_dim_join_broadcasts_small_side(spark):
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    nation = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    df = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name").agg(F.sum("o_totalprice").alias("rev"))
+    )
+    p = plan_of(df)
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_bucket_pruned_point_read_has_no_exchange(spark, cow_job):
+    conv = cow_job.final_state().select("conv_id").first()["conv_id"]
+    df = cow_job.table.read_conversation(spark, conv)
+    p = plan_of(df)
+    assert "Exchange" not in p  # pure scan+filter of one bucket's files
+    assert "PushedFilters" in p and "EqualTo(conv_id," in p
+    # file-level pruning: only the target bucket's manifested files are read
+    state, _ = cow_job.table._current_state()
+    b = cow_job.table.bucket_of(spark, conv)
+    n_inputs = {p.replace("file://", "").replace("file:", "") for p in df.inputFiles()}
+    assert n_inputs == {
+        os.path.join(cow_job.table.root, f) for f in state[str(b)]
+    }
+
+
+def test_mor_resolved_read_has_no_data_exchange(spark, mor_job):
+    df = mor_job.table.read_resolved(spark)  # bucket-local fold (default)
+    p = plan_of(df)
+    assert "FileScan parquet" not in p  # data moves inside the fold tasks
+    # the only exchange is the tiny (bucket, files) control relation
+    assert p.count("Exchange") == 1
+    assert "MapInPandas" in p
+
+
+def test_local_fold_matches_window_fold(spark, mor_job):
+    t = mor_job.table
+    local = (
+        t.read_resolved(spark, local_fold=True)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    window = (
+        t.read_resolved(spark, local_fold=False)
+        .toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    window = window[local.columns]
+    pd.testing.assert_frame_equal(
+        local.astype(str), window.astype(str), check_dtype=False
+    )
+
+
+def test_local_fold_respects_bucket_pruning_and_time_travel(spark, mor_job):
+    t = mor_job.table
+    conv = t.read_resolved(spark).select("conv_id").first()["conv_id"]
+    b = t.bucket_of(spark, conv)
+    pruned = t.read_resolved(spark, buckets=[b])
+    full = t.read_resolved(spark)
+    assert (
+        pruned.filter(F.col("conv_id") == conv).count()
+        == full.filter(F.col("conv_id") == conv).count()
+    )
+    # time travel through the local fold: earlier epochs have <= rows
+    epochs = t.committed_epochs()
+    n_first = t.read_resolved(spark, as_of_epoch=epochs[0]).count()
+    n_last = t.read_resolved(spark, as_of_epoch=epochs[-1]).count()
+    assert 0 < n_first <= n_last

@@ -12,15 +12,24 @@ Per-epoch dataflow (shuffles annotated — there are exactly two):
     → normalize_text (Arrow)        narrow
     → lww_dedup                     SHUFFLE 1: hash(conv_id,turn_idx) window
     → __bucket = pmod(xxhash64(conv_id), N)    narrow
-    ⨝ snapshot(touched buckets)     SHUFFLE 2: merge join (broadcast batch
-                                    when small → snapshot side not shuffled)
-    → salted repartition by bucket  (folded into shuffle 2's output when
-                                    broadcasting; else a cheap exchange)
-    → write data/epoch=K/ + manifest commit
+    ⨝ snapshot(HOT FILES of touched buckets)   SHUFFLE 2: merge join
+                                    (broadcast batch when small → snapshot
+                                    side not shuffled). Hot files = the
+                                    manifest's per-file key-range stats ∩
+                                    this batch's key set (plan_cow_merge);
+                                    provably-untouched files carry forward
+                                    unread and unrewritten.
+    → range-cluster on (bucket, conv_id)       (cow: keeps every output
+                                    file on a tight key interval so the
+                                    NEXT epoch's pruning stays selective;
+                                    mor: salted repartition by bucket)
+    → write data/epoch=K/ + manifest commit (+ footer key stats)
 
 At 10^10 events the loop is bounded per-epoch: cost scales with
-|epoch slice| + |touched buckets' data|, never with |full table| or
-|full feed| (no collect of data, no O(table) work — SURVEY.md §7 hard #5).
+|epoch slice| + |files containing batch keys|, never with |full table|,
+|touched buckets| or |full feed| (no collect of data — the only driver
+collects are ≤n_buckets metric rows and the bounded distinct-key list that
+drives file pruning — SURVEY.md §7 hard #5).
 """
 
 from __future__ import annotations
@@ -65,6 +74,16 @@ class IngestConfig:
     storage: str = "cow"
     compact_every: int = 0  # mor only: auto-compact every K epochs (0 = never)
     expire_on_compact: bool = False  # GC superseded files after each compaction
+    # File-granular COW (Iceberg-style metadata pruning of the MERGE write
+    # side): rewrite only the files whose key range intersects the batch.
+    file_granular_cow: bool = True
+    # Collect the batch's distinct keys for pruning only when bounded;
+    # larger batches fall back to whole-bucket rewrite (a 10^10-scale epoch
+    # of 1M events has ~1e5 distinct conversations — well under this).
+    file_prune_max_keys: int = 200_000
+    # Self-compaction bound: a bucket fragmented past this many files is
+    # rewritten in full, so partial rewrites can't grow file counts forever.
+    max_files_per_bucket: int = 64
     extra: dict = field(default_factory=dict)
 
 
@@ -191,36 +210,58 @@ class CdcIngestJob:
                 new_schema = schemas.evolve(
                     self.table.current_schema(), batch.drop(BUCKET_COL).schema
                 )
-                new_state = batch
+                # MOR deltas: spread hot buckets with a salt derived from
+                # the full key — salting the write shuffle only, never the
+                # dedup window (SURVEY §7.2).
+                new_state = salted_repartition(
+                    batch,
+                    [BUCKET_COL],
+                    salt,
+                    num_partitions=self.cfg.write_partitions,
+                )
+                kept: dict[str, list[str]] = {}
+                n_hot = n_kept = 0
             else:
-                # Copy-on-write: full MERGE against the touched buckets.
+                # Copy-on-write: MERGE against only the files of the
+                # touched buckets that can contain a batch key (per-file
+                # key-range stats from the manifests — plan_cow_merge);
+                # provably-untouched files are carried forward unrewritten.
                 # Schema evolution: union-by-name the batch's payload
                 # columns into the table schema (additive only).
                 new_schema = schemas.evolve(
                     self.table.current_schema(),
                     batch.drop(schemas.LSN_COL, schemas.OP_COL, BUCKET_COL).schema,
                 )
-                snapshot = self.table.read_snapshot(self.spark, buckets=touched)
+                keys_by_bucket = self._collect_prune_keys(batch, n_keys)
+                hot, kept = self.table.plan_cow_merge(
+                    touched, keys_by_bucket, self.cfg.max_files_per_bucket
+                )
+                n_hot, n_kept = len(hot), sum(len(v) for v in kept.values())
+                snapshot = self.table.read_files(self.spark, hot)
                 merged = merge_apply(
                     snapshot,
                     batch.drop(BUCKET_COL),
                     key_cols=schemas.KEY_COLS,
                     broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
                 )
-                # Re-derive the bucket from conv_id (deterministic).
+                # Re-derive the bucket from conv_id (deterministic), then
+                # RANGE-cluster the write on (bucket, key): each output
+                # file covers a tight key interval, which is exactly what
+                # makes the next epoch's file pruning selective. The range
+                # partitioner's sampling also balances hot buckets (the
+                # role salting plays on the MOR path).
                 new_state = merged.withColumn(
                     BUCKET_COL,
                     bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
                 )
-            # Spread hot buckets with a salt derived from the full key —
-            # salting the write shuffle only, never the dedup window
-            # (SURVEY §7.2).
-            new_state = salted_repartition(
-                new_state,
-                [BUCKET_COL],
-                salt,
-                num_partitions=self.cfg.write_partitions,
-            )
+                n_parts = self.cfg.write_partitions or int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions")
+                )
+                new_state = new_state.repartitionByRange(
+                    n_parts,
+                    F.col(BUCKET_COL),
+                    F.col(self.table.meta["bucket_by"]),
+                ).sortWithinPartitions(BUCKET_COL, self.table.meta["bucket_by"])
 
             metrics = {
                 "storage": self.cfg.storage,
@@ -228,6 +269,8 @@ class CdcIngestJob:
                 "deletes_in_batch": n_deletes,
                 "heavy_hitters": hh[:5],
                 "salt": salt,
+                "files_rewritten": n_hot,
+                "files_kept": n_kept,
                 "duration_prepare_s": round(time.time() - t0, 3),
             }
             committed = self.table.commit_epoch(
@@ -239,6 +282,7 @@ class CdcIngestJob:
                 new_schema,
                 metrics,
                 append=mor,
+                kept_files=kept,
             )
             return {
                 "epoch": epoch,
@@ -250,6 +294,24 @@ class CdcIngestJob:
             }
         finally:
             batch.unpersist()
+
+    def _collect_prune_keys(
+        self, batch: DataFrame, n_keys: int
+    ) -> dict[str, list] | None:
+        """Per-bucket SORTED distinct key values of this batch, for file
+        pruning — or None (→ whole-bucket rewrite) when the batch is too
+        large to collect its key set to the driver. Bounded control
+        metadata: ≤ file_prune_max_keys short strings."""
+        if not self.cfg.file_granular_cow or n_keys > self.cfg.file_prune_max_keys:
+            return None
+        key_col = self.table.meta["bucket_by"]
+        rows = batch.select(BUCKET_COL, key_col).distinct().collect()
+        out: dict[str, list] = {}
+        for r in rows:
+            out.setdefault(str(int(r[BUCKET_COL])), []).append(r[key_col])
+        for v in out.values():
+            v.sort()
+        return out
 
     def _state_schema(self, batch: DataFrame):
         from pyspark.sql import types as T
