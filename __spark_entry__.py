@@ -26,6 +26,7 @@ from transcript_cdc.functions.dedup_text import (
 from transcript_cdc.functions.json_fns import parse_props
 from transcript_cdc.functions.multimodal import extract_features
 from transcript_cdc.functions.normalize import normalize_text_sql
+from transcript_cdc.functions.records import parse_records, record_xml
 from transcript_cdc.functions.vectors import cosine_topk, lsh_candidate_topk, make_planes
 from transcript_cdc.operators.dedup import lww_dedup, union_dedup
 from transcript_cdc.operators.filters import conjunction, in_filter, point_lookup, range_filter
@@ -451,6 +452,51 @@ def q_multimodal_nbytes(spark, sf):
     return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def q_xml_records_documents(spark, sf):
+    """P1 semi-structured record parse (reference document.py:17-68): build
+    an OAI-style <harvest> payload per document row (comments/license
+    elements conditionally OMITTED — the reference's null-guarded
+    optionals), parse it back JVM-side with Spark 4 native from_xml +
+    explode fan-out, and emit the 9 extracted fields + the content concat.
+    The round-trip construction is what makes an XML parse DuckDB-checkable:
+    the oracle computes the same fields straight from the table, so any
+    parse/escape/null-guard defect breaks the hash match."""
+    docs = _t(spark, sf, "documents")
+    d = F.col("doc_id")
+    payloads = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<harvest>"),
+            record_xml(
+                {
+                    "identifier": F.concat(
+                        F.lit("oai:transcripts:"), d.cast("string")
+                    ),
+                    "datestamp": F.date_format(
+                        F.date_add(F.to_date(F.lit("2024-01-01")), (d % 365).cast("int")),
+                        "yyyy-MM-dd",
+                    ),
+                    "title": F.trim(F.substring("text", 1, 40)),
+                    "authors": F.concat(F.lit("author-"), (d % 7).cast("string")),
+                    "abstract": F.col("text"),
+                    "categories": F.col("lang"),
+                    "comments": F.when(d % 3 == 0, F.lit(None)).otherwise(
+                        F.concat(F.lit("v"), d.cast("string"))
+                    ),
+                    "license": F.when(d % 5 == 0, F.lit(None)).otherwise(
+                        F.concat(F.lit("http://lic/"), (d % 4).cast("string"))
+                    ),
+                    "submitter": F.col("source"),
+                }
+            ),
+            F.lit("</harvest>"),
+        ).alias("payload"),
+    )
+    return parse_records(payloads, "payload", keep_cols=("doc_id",)).orderBy(
+        "doc_id"
+    )
+
+
 def q_window_hourly_events(spark, sf):
     """Tumbling event-time window aggregation (the Structured Streaming
     windowed-agg shape, run on the batch table)."""
@@ -530,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "correlations_documents": q_correlations_documents,
         "multimodal_nbytes": q_multimodal_nbytes,
+        "xml_records_documents": q_xml_records_documents,
         "window_hourly_events": q_window_hourly_events,
         "anti_join_customers": q_anti_join_customers,
         "top3_per_user_events": q_top3_per_user_events,
@@ -788,6 +835,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id, 'image' AS kind,
                    octet_length(encode(text)) AS n_bytes
             FROM documents
+        """,
+        "xml_records_documents": """
+            SELECT doc_id,
+                   'oai:transcripts:' || doc_id AS identifier,
+                   strftime(DATE '2024-01-01' + (doc_id % 365)::INT,
+                            '%Y-%m-%d') AS datestamp,
+                   trim(substr(text, 1, 40)) AS title,
+                   'author-' || (doc_id % 7) AS authors,
+                   trim(text) AS abstract,
+                   lang AS categories,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'v' || doc_id END AS comments,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        ELSE 'http://lic/' || (doc_id % 4) END AS license,
+                   source AS submitter,
+                   trim(substr(text, 1, 40)) || chr(10) || chr(10)
+                       || trim(text) AS content
+            FROM documents
+            ORDER BY doc_id
         """,
         "window_hourly_events": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
