@@ -44,6 +44,7 @@ from transcript_cdc import schemas
 from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
 from transcript_cdc.operators.dedup import lww_dedup
 from transcript_cdc.operators.merge import merge_apply
+from transcript_cdc.plans.control import JobControl, job_group
 from transcript_cdc.operators.skew import (
     choose_salt,
     heavy_hitter_probe,
@@ -120,6 +121,7 @@ class CdcIngestJob:
                 f"{self.table.meta.get('storage', 'cow')!r}, config wants "
                 f"{self.cfg.storage!r}"
             )
+        self.control = JobControl(table_root)
 
     # ---------- resume ----------
 
@@ -328,11 +330,28 @@ class CdcIngestJob:
 
         Epoch ids are re-read from the ledger every iteration (not counted
         locally) so interleaved commits — e.g. auto-compaction, which takes
-        an epoch id of its own — can never collide with an ingest epoch."""
+        an epoch id of its own — can never collide with an ingest epoch.
+
+        Control protocol (T5, plans/control.py): the table's control file
+        is polled at every epoch boundary — a ``stop`` request drains the
+        loop after the in-flight epoch commits; a ``min_engine_version``
+        pin newer than this code raises UpgradeRequired (restart on
+        current code resumes from the ledger). All Spark jobs run under a
+        table-derived job group so cancel_inflight() can hard-kill the
+        epoch mid-flight (recovered by the crash-mid-epoch path)."""
+        self.control.check_version()
+        sc = self.spark.sparkContext
+        sc.setJobGroup(
+            job_group(self.table.root),
+            f"cdc-ingest {self.table.root}",
+            interruptOnCancel=True,
+        )
         results = []
         feed_max = self.feed.max_lsn() if up_to_lsn is None else up_to_lsn
         while True:
             if max_epochs is not None and len(results) >= max_epochs:
+                break
+            if self.control.should_stop():
                 break
             epoch, lsn_hi = self.resume_point()
             if lsn_hi >= feed_max:
