@@ -126,6 +126,9 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
                 "equality_pass": None if eq is None else bool(eq),
                 "final_rows": n_rows,
                 "equality_check_seconds": round(eq_s, 3),
+                # per-epoch wall: flat ⇒ epoch cost tracks batch size, not
+                # table size (the file-granular COW / delta-append claim)
+                "epoch_seconds": [r.get("seconds") for r in results],
             }
         out["gen_seconds"] = round(gen_s, 3)
         out["oracle_seconds"] = round(orc_s, 3)

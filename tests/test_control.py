@@ -108,6 +108,34 @@ def test_request_rejects_unknown_command(tmp_path):
         JobControl(str(tmp_path / "t")).request("explode")
 
 
+def test_streaming_drain_and_resume(spark, tmp_path, feed):
+    """T5 over the streaming path: a stop request ends the availableNow run
+    at the micro-batch boundary (nothing half-committed); clearing it and
+    re-running with the SAME checkpoint drains the rest exactly-once."""
+    from transcript_cdc.streaming import StreamConfig, StreamingIngest
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = StreamConfig(n_buckets=4, max_files_per_trigger=1, normalize=False)
+    ing = StreamingIngest(spark, feed["dir"], table, ckpt, cfg)
+    ing.control.request_stop(reason="drain test")
+    assert ing.run_available() is False
+    drained_epochs = ing.table.committed_epochs()
+    assert drained_epochs == []  # stopped before the first commit
+
+    ing.control.clear()
+    assert ing.run_available() is True
+    got = (
+        ing.final_state()
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    oracle = feed["oracle"]
+    assert len(got) == len(oracle)
+    assert got["text"].tolist() == oracle["text"].tolist()
+
+
 def test_hard_cancel_recovers_like_crash(spark, tmp_path, feed):
     """cancelJobGroup mid-run must leave the table at a committed epoch
     (uncommitted files are orphans); a fresh run finishes and matches the

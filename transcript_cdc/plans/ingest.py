@@ -196,14 +196,18 @@ class CdcIngestJob:
 
             touched = [int(r[BUCKET_COL]) for r in brows]
 
+            mor = self.cfg.storage == "mor"
+            # The probe's salt feeds salted_repartition on the MOR write;
+            # the COW write range-partitions (its sampler balances hot
+            # buckets), so there the probe would be a pure driver-serial
+            # round trip — skip it (measured: each control job costs
+            # ~0.1-1s of un-parallelizable wall per epoch).
             hh = (
                 heavy_hitter_probe(batch, "conv_id")
-                if self.cfg.probe_heavy_hitters
+                if (mor and self.cfg.probe_heavy_hitters)
                 else []
             )
             salt = choose_salt(hh)
-
-            mor = self.cfg.storage == "mor"
             if mor:
                 # Merge-on-read: the dedup'd batch IS the delta (lsn/op
                 # kept, deletes as tombstones). No snapshot read, no merge
@@ -234,7 +238,14 @@ class CdcIngestJob:
                     self.table.current_schema(),
                     batch.drop(schemas.LSN_COL, schemas.OP_COL, BUCKET_COL).schema,
                 )
-                keys_by_bucket = self._collect_prune_keys(batch, n_keys)
+                # The distinct-key collect exists only to prune existing
+                # files; when the touched buckets hold none (epoch 0, fresh
+                # buckets) it would be a wasted driver round trip.
+                keys_by_bucket = (
+                    self._collect_prune_keys(batch, n_keys)
+                    if self.table.has_live_files(touched)
+                    else {}
+                )
                 hot, kept = self.table.plan_cow_merge(
                     touched, keys_by_bucket, self.cfg.max_files_per_bucket
                 )

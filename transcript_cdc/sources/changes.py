@@ -35,8 +35,48 @@ class ChangeFeed:
         )
 
     def max_lsn(self) -> int:
-        row = self.read().agg(F.max("lsn").alias("m")).collect()[0]
-        return -1 if row["m"] is None else int(row["m"])
+        """Feed high-water mark from parquet footer statistics.
+
+        Driver-serial cost matters here: a Spark `agg(max(lsn))` schedules a
+        full scan job (seconds of wall per run that no executor parallelism
+        can hide). Parquet footers already carry exact int64 min/max for the
+        lsn column, so read ONLY footers — a thread pool over segment files,
+        ~ms each, no Spark job at all. Falls back to the Spark aggregate if
+        any footer lacks lsn stats (e.g. a writer that disabled statistics)."""
+        import concurrent.futures
+        import glob as _glob
+        import os as _os
+
+        files = _glob.glob(_os.path.join(self.path, "*.parquet")) or _glob.glob(
+            _os.path.join(self.path, "**", "*.parquet"), recursive=True
+        )
+        if not files:
+            return -1
+        try:
+            import pyarrow.parquet as pq
+
+            def footer_max(f: str) -> int:
+                md = pq.ParquetFile(f).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                if "lsn" not in idx:
+                    raise ValueError(f"no lsn column in {f}")
+                m = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx["lsn"]).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(f"no lsn stats in {f}")
+                    m = st.max if m is None else max(m, st.max)
+                if m is None:
+                    raise ValueError(f"zero row groups in {f}")
+                return int(m)
+
+            with concurrent.futures.ThreadPoolExecutor(
+                min(16, len(files))
+            ) as ex:
+                return max(ex.map(footer_max, files))
+        except Exception:
+            row = self.read().agg(F.max("lsn").alias("m")).collect()[0]
+            return -1 if row["m"] is None else int(row["m"])
 
     def read_stream(self, schema) -> DataFrame:
         """Structured Streaming variant: file-source tail of the WAL dir.

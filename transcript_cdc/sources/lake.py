@@ -258,6 +258,16 @@ class ParquetSnapshotTable:
 
     # ---------- file-granular COW planning ----------
 
+    def has_live_files(self, buckets: Sequence[int] | None = None) -> bool:
+        """True if any (selected) bucket currently references data files.
+        Driver-side manifest fold only — used to skip work (e.g. the
+        prune-key collect job) on epochs that merge into empty buckets."""
+        state, _ = self._current_state()
+        wanted = None if buckets is None else {str(int(b)) for b in buckets}
+        return any(
+            fl for b, fl in state.items() if wanted is None or b in wanted
+        )
+
     def plan_cow_merge(
         self,
         touched_buckets: Sequence[int],
@@ -383,11 +393,33 @@ class ParquetSnapshotTable:
                     for f in sorted(os.listdir(d))
                     if f.endswith(".parquet")
                 ]
-                for r in rel:
-                    file_stats[r] = _parquet_key_stats(
-                        os.path.join(self.root, r), self.meta["bucket_by"]
-                    )
                 bucket_files[b] = bucket_files.get(b, []) + rel
+            # Footer reads are per-file metadata I/O on the commit path
+            # (driver-serial wall): thread pool instead of a sequential
+            # loop — an epoch can easily write hundreds of files. Carried-
+            # forward (kept) files already have stats in older manifests.
+            new_rel = [
+                r
+                for b2, fl in bucket_files.items()
+                for r in fl
+                if r not in set(kept_files.get(b2, []))
+            ]
+            import concurrent.futures
+
+            key_col = self.meta["bucket_by"]
+            with concurrent.futures.ThreadPoolExecutor(
+                min(16, max(1, len(new_rel)))
+            ) as ex:
+                for r, st in zip(
+                    new_rel,
+                    ex.map(
+                        lambda r: _parquet_key_stats(
+                            os.path.join(self.root, r), key_col
+                        ),
+                        new_rel,
+                    ),
+                ):
+                    file_stats[r] = st
 
         manifest = {
             "epoch": epoch,

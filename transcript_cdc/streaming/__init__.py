@@ -1,11 +1,13 @@
 from transcript_cdc.streaming.stateful import conversation_stats_stream
 from transcript_cdc.streaming.stream_ingest import (
+    DrainRequested,
     StreamConfig,
     StreamingIngest,
     VERSIONED_TRANSCRIPT_SCHEMA,
 )
 
 __all__ = [
+    "DrainRequested",
     "StreamConfig",
     "StreamingIngest",
     "VERSIONED_TRANSCRIPT_SCHEMA",

@@ -39,7 +39,15 @@ from transcript_cdc import schemas
 from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
 from transcript_cdc.operators.dedup import lww_dedup
 from transcript_cdc.operators.merge import merge_apply_versioned
+from transcript_cdc.plans.control import JobControl
 from transcript_cdc.sources.lake import BUCKET_COL, ParquetSnapshotTable, bucket_expr
+
+
+class DrainRequested(RuntimeError):
+    """Raised inside foreachBatch when the table's control file requests a
+    stop (T5). Nothing from the in-flight micro-batch has committed, so the
+    checkpoint re-delivers it with the same epoch_id after restart — the
+    drain is exactly-once-safe by construction."""
 
 # Table schema in streaming mode: payload + the version/op columns that make
 # out-of-order merge resolvable (tombstones included). Canonical definition
@@ -108,6 +116,7 @@ class StreamingIngest:
                     "checkpoint, or start against a fresh table root (use "
                     "CdcIngestJob for batch backfill into an existing table)."
                 )
+        self.control = JobControl(table_root)
 
     def _checkpoint_id(self) -> str | None:
         """The streaming query id Spark pins inside the checkpoint dir —
@@ -128,6 +137,14 @@ class StreamingIngest:
 
         Public so tests (and backfill tools) can drive it directly; the
         streaming query calls it via foreachBatch."""
+        # T5 drain/upgrade gate at the micro-batch boundary (plans/control):
+        # checked BEFORE any work, so a stop can never orphan a half-applied
+        # batch — the commit point hasn't been reached.
+        self.control.check_version()
+        if self.control.should_stop():
+            raise DrainRequested(
+                f"control file for {self.table.root} requests stop"
+            )
         ckpt_id = self._checkpoint_id()
         if self.table.is_committed(epoch_id):
             # Under a checkpoint, skipping is safe ONLY if the committed
@@ -236,10 +253,21 @@ class StreamingIngest:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
-    def run_available(self) -> None:
-        """Drain the backlog and return (blocking availableNow run)."""
+    def run_available(self) -> bool:
+        """Drain the backlog and return (blocking availableNow run).
+
+        Returns True if the backlog fully drained, False if a control-file
+        stop ended the run early (T5 graceful drain — the interrupted
+        micro-batch never committed; resuming with the same checkpoint
+        re-delivers it). Any other failure propagates."""
         q = self.start(available_now=True)
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+            return True
+        except Exception as e:  # StreamingQueryException wraps foreachBatch
+            if "DrainRequested" in str(e):
+                return False
+            raise
 
     # ---------- reads ----------
 
