@@ -128,14 +128,16 @@ def parse_eventlog(path: str) -> dict:
             agg["deser"] += m.get("Executor Deserialize Time", 0)
             agg["result_ser"] += m.get("Result Serialization Time", 0)
         elif e == "SparkListenerJobStart":
+            # stage name carries the RDD callsite ("collect at foo.py:123")
+            # — more diagnostic than the job-group description
             jobs.append(
                 {
                     "id": ev.get("Job ID"),
                     "start": ev.get("Submission Time"),
-                    "desc": (ev.get("Properties") or {}).get(
-                        "spark.job.description", ""
-                    )[:60]
-                    or (ev.get("Stage Infos") or [{}])[-1].get("Stage Name", "")[:60],
+                    "desc": (ev.get("Stage Infos") or [{}])[-1].get(
+                        "Stage Name", ""
+                    )[:70],
+                    "n_stages": len(ev.get("Stage Infos") or []),
                 }
             )
         elif e == "SparkListenerJobEnd":
