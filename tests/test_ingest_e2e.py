@@ -244,13 +244,16 @@ def test_crash_mid_epoch_recovers(spark, feed, tmp_path):
 
 
 def test_hot_key_stream_salted_and_correct(spark, tmp_path):
-    """Extreme hot conversation (Zipf s=2.5): the heavy-hitter probe must
-    record the hot key and a salt > 1 in the manifest, and the final state
-    must still equal the oracle (salting never touches LWW).
+    """Extreme hot conversation (Zipf s=2.5), MOR mode — the path whose
+    write uses salted_repartition (the COW write range-partitions; its
+    sampler spreads hot buckets).
 
-    Runs in MOR mode: that's the path whose write uses salted_repartition —
-    the COW write range-partitions (its sampler spreads hot buckets), so
-    the probe is skipped there as pure driver-serial cost."""
+    Default config runs ZERO probe jobs: each epoch's salt is derived from
+    the PREVIOUS epoch's manifest bucket_rows (lagged signal, skew.lagged_salt).
+    The opt-in probe still records exact per-key heavy hitters. Either way
+    the final state must equal the oracle (salting never touches LWW)."""
+    from transcript_cdc.operators.skew import choose_salt, lagged_salt
+
     spec = StreamSpec(
         n_conversations=40, avg_turns=8, update_ratio=2.0, delete_ratio=0.05,
         zipf_s=2.5, out_of_order_fraction=0.2, seed=31, events_per_file=400,
@@ -259,24 +262,49 @@ def test_hot_key_stream_salted_and_correct(spark, tmp_path):
     write_change_feed(spec, d)
     oracle = replay_oracle(generate_events(spec), normalize=True)
 
+    # Default: lagged salt, no probe job.
     job = CdcIngestJob(
         spark, d, str(tmp_path / "table"),
-        IngestConfig(n_buckets=8, epoch_events=10**9, storage="mor"),
+        IngestConfig(n_buckets=8, epoch_events=300, storage="mor"),
     )
     job.run()
-    m = job.table.last_committed()
-    hh = m["metrics"]["heavy_hitters"]
-    # probe runs POST-dedup (write-side skew is what salting spreads), so
-    # per-conv counts are bounded by turns-per-conv, not raw update traffic
-    assert hh and all(n <= spec.max_turns for _, n in hh)
-    assert "salt" in m["metrics"]
-    # salt chosen from the probe (rows_per_task floor keeps tiny tests at 1,
-    # so force the decision logic directly too)
-    from transcript_cdc.operators.skew import choose_salt
+    epochs = job.table.committed_epochs()
+    assert len(epochs) >= 3
+    for e in epochs:
+        m = job.table.read_manifest(e)
+        assert m["metrics"]["salt_source"] == "lagged"
+        # the salt decision is reproducible from the previous manifest
+        prev = job.table.read_manifest(e - 1) if e > 0 else None
+        assert m["metrics"]["salt"] == lagged_salt(prev)
+    # the lagged signal itself (per-bucket rows from footer stats) is there
+    assert any(
+        job.table.read_manifest(e)["metrics"]["bucket_rows"] for e in epochs
+    )
+    _assert_equal(_engine_state(job), oracle)
 
+    # Opt-in probe: exact per-key heavy hitters recorded in the manifest.
+    # Probe runs POST-dedup (write-side skew is what salting spreads), so
+    # per-conv counts are bounded by turns-per-conv, not raw update traffic.
+    job2 = CdcIngestJob(
+        spark, d, str(tmp_path / "table2"),
+        IngestConfig(
+            n_buckets=8, epoch_events=10**9, storage="mor",
+            probe_heavy_hitters=True,
+        ),
+    )
+    job2.run()
+    m2 = job2.table.last_committed()
+    hh = m2["metrics"]["heavy_hitters"]
+    assert hh and all(n <= spec.max_turns for _, n in hh)
+    assert m2["metrics"]["salt_source"] == "probe"
+    _assert_equal(_engine_state(job2), oracle)
+
+    # The decision logic itself (rows_per_task floor keeps tiny tests at 1,
+    # so force both salt choosers directly).
     assert choose_salt([("c", 2_000_000)]) == 4
     assert choose_salt([("c", 100)]) == 1
-    _assert_equal(_engine_state(job), oracle)
+    assert lagged_salt({"metrics": {"bucket_rows": {"3": 2_000_000, "1": 9}}}) == 4
+    assert lagged_salt(None) == 1
 
 
 def test_time_travel_reconstructs_each_epoch(spark, feed, tmp_path):

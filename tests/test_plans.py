@@ -115,7 +115,7 @@ def test_mor_resolved_read_has_no_data_exchange(spark, mor_job):
     assert "FileScan parquet" not in p  # data moves inside the fold tasks
     # the only exchange is the tiny (bucket, files) control relation
     assert p.count("Exchange") == 1
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p or "PythonMapInArrow" in p
 
 
 def test_local_fold_matches_window_fold(spark, mor_job):

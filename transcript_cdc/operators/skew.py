@@ -47,6 +47,26 @@ def choose_salt(heavy_hitters: list[tuple[str, int]], rows_per_task: int = 500_0
     return max(1, min(64, -(-hottest // rows_per_task)))
 
 
+def lagged_salt(manifest: dict | None, rows_per_task: int = 500_000) -> int:
+    """Salt factor from the PREVIOUS epoch's manifest ``bucket_rows``.
+
+    The write-shuffle partitions on the bucket column, so the skew that
+    matters is rows-per-bucket — which the previous commit already recorded
+    for free from its parquet footer stats. Using the lagged signal makes
+    the salt decision ZERO extra Spark jobs (vs. the in-epoch probe's full
+    pass over the batch): skew in a CDC feed is a property of the key
+    distribution, which moves slowly epoch-to-epoch, so last epoch's
+    per-bucket load is an accurate predictor of this epoch's. Epoch 0 (no
+    prior manifest) conservatively gets salt=1 — one possibly-skewed epoch,
+    then the signal exists forever after.
+    """
+    counts = ((manifest or {}).get("metrics") or {}).get("bucket_rows") or {}
+    if not counts:
+        return 1
+    hot = max(counts.items(), key=lambda kv: int(kv[1]))
+    return choose_salt([(hot[0], int(hot[1]))], rows_per_task)
+
+
 def salted_repartition(
     df: DataFrame,
     partition_cols: Sequence[str],

@@ -27,9 +27,10 @@ Per-epoch dataflow (shuffles annotated — there are exactly two):
 
 At 10^10 events the loop is bounded per-epoch: cost scales with
 |epoch slice| + |files containing batch keys|, never with |full table|,
-|touched buckets| or |full feed| (no collect of data — the only driver
-collects are ≤n_buckets metric rows and the bounded distinct-key list that
-drives file pruning — SURVEY.md §7 hard #5).
+|touched buckets| or |full feed| (no collect of data — MOR epochs run ONE
+Spark job, the observed write; COW epochs add a single bounded control
+collect of ≤n_buckets count rows + the capped distinct-key lists that
+drive file pruning — SURVEY.md §7 hard #5).
 """
 
 from __future__ import annotations
@@ -37,7 +38,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from transcript_cdc import schemas
@@ -48,6 +49,7 @@ from transcript_cdc.plans.control import JobControl, job_group
 from transcript_cdc.operators.skew import (
     choose_salt,
     heavy_hitter_probe,
+    lagged_salt,
     salted_repartition,
 )
 from transcript_cdc.sources.changes import ChangeFeed
@@ -67,7 +69,10 @@ class IngestConfig:
     normalize: bool = True
     arrow_normalizer: bool = True  # False → pure-SQL normalizer (no NFC)
     broadcast_max_rows: int = 2_000_000
-    probe_heavy_hitters: bool = True
+    # True → exact in-epoch heavy-hitter probe (one extra Spark job per
+    # epoch, per-key counts in the manifest). Default: salt from the
+    # previous manifest's bucket_rows (lagged_salt) — zero extra jobs.
+    probe_heavy_hitters: bool = False
     write_partitions: int | None = None  # None → spark.sql.shuffle.partitions
     # "cow": per-epoch MERGE + touched-bucket rewrite (read-optimized).
     # "mor": per-epoch delta append + LWW fold at read (write-optimized —
@@ -162,24 +167,117 @@ class CdcIngestJob:
         at-least-once retry loops, pipeline.py:74-90)."""
         if self.table.is_committed(epoch):
             return {"epoch": epoch, "skipped": "already-committed"}
-
         t0 = time.time()
         raw = self.feed.read_range(lsn_lo_excl, lsn_hi_incl)
-        batch = self.prepare_batch(raw).persist()
+        batch = self.prepare_batch(raw)
+        if self.cfg.storage == "mor":
+            return self._run_epoch_mor(epoch, lsn_lo_excl, lsn_hi_incl, batch, t0)
+        return self._run_epoch_cow(epoch, lsn_lo_excl, lsn_hi_incl, batch, t0)
+
+    def _run_epoch_mor(
+        self, epoch: int, lsn_lo: int, lsn_hi: int, batch: DataFrame, t0: float
+    ) -> dict:
+        """Merge-on-read epoch: the dedup'd batch IS the delta (lsn/op kept,
+        deletes as tombstones). No snapshot read, no merge join, no rewrite —
+        write cost is O(batch) regardless of table size; readers fold LWW.
+
+        ONE Spark job per epoch — the observed write. Round 1 ran three
+        driver-serial control jobs before it (persist materialization,
+        per-bucket count collect, heavy-hitter probe; measured ~0.1-1s of
+        un-parallelizable wall each). All three are folded away:
+        - epoch metrics and the touched-bucket list ride the write job as a
+          pyspark ``Observation`` (computed as a side effect of the same
+          pass that writes — commit_epoch reads them after the action);
+        - the salt comes from the PREVIOUS manifest's per-bucket row counts
+          (operators/skew.lagged_salt) — zero extra jobs;
+        - with a single action there is nothing to persist.
+        """
+        new_schema = schemas.evolve(
+            self.table.current_schema(), batch.drop(BUCKET_COL).schema
+        )
+        if self.cfg.probe_heavy_hitters:
+            # Legacy opt-in: an exact in-epoch probe (one extra job) whose
+            # per-key counts land in the manifest for skew diagnostics.
+            hh = heavy_hitter_probe(batch, "conv_id")
+            salt, salt_source = choose_salt(hh), "probe"
+        else:
+            hh = []
+            salt, salt_source = lagged_salt(self.table.last_committed()), "lagged"
+        obs = Observation(f"epoch-{epoch}")
+        observed = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("keys"),
+            F.sum((F.col(schemas.OP_COL) == "D").cast("long")).alias("deletes"),
+            F.collect_set(F.col(BUCKET_COL)).alias("buckets"),
+        )
+        # Spread hot buckets with a salt derived from the full key —
+        # salting the write shuffle only, never the dedup window (§7.2).
+        new_state = salted_repartition(
+            observed, [BUCKET_COL], salt, num_partitions=self.cfg.write_partitions
+        )
+        metrics = {
+            "storage": "mor",
+            "heavy_hitters": hh[:5],
+            "salt": salt,
+            "salt_source": salt_source,
+            "duration_prepare_s": round(time.time() - t0, 3),
+        }
+        committed = self.table.commit_epoch(
+            epoch,
+            new_state,
+            None,  # touched buckets read from the observation post-write
+            lsn_lo,
+            lsn_hi,
+            new_schema,
+            metrics,
+            append=True,
+            observation=obs,
+        )
+        om = obs.get if committed else {}
+        return {
+            "epoch": epoch,
+            "keys": int(om.get("keys") or 0),
+            "touched_buckets": len(om.get("buckets") or []),
+            "salt": salt,
+            "committed": committed,
+            "seconds": round(time.time() - t0, 3),
+        }
+
+    def _run_epoch_cow(
+        self, epoch: int, lsn_lo: int, lsn_hi: int, batch: DataFrame, t0: float
+    ) -> dict:
+        """Copy-on-write epoch: MERGE against only the files of the touched
+        buckets that can contain a batch key (per-file key-range stats from
+        the manifests — plan_cow_merge); provably-untouched files are
+        carried forward unrewritten.
+
+        Two Spark jobs per epoch: ONE bounded control collect + the merge
+        write. The collect returns per-bucket row/delete counts
+        (≤ n_buckets rows) and — when the table has live files to prune
+        against — each bucket's sorted distinct key set, capped at
+        ``file_prune_max_keys``+1 elements so an oversized bucket degrades
+        to whole-bucket rewrite instead of unbounded driver transfer.
+        (Round 1 ran counts and prune keys as two separate jobs.)"""
+        batch = batch.persist()
         try:
-            # One small per-bucket aggregate (≤ n_buckets rows) drives the
-            # broadcast choice, touched-bucket list and commit metrics in a
-            # single job; cost ∝ epoch size, not table size.
-            brows = (
-                batch.groupBy(BUCKET_COL)
-                .agg(
-                    F.count(F.lit(1)).alias("keys"),
-                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias(
-                        "deletes"
-                    ),
-                )
-                .collect()
+            key_col = self.table.meta["bucket_by"]
+            lim = self.cfg.file_prune_max_keys
+            collect_keys = (
+                self.cfg.file_granular_cow and self.table.has_live_files()
             )
+            aggs = [
+                F.count(F.lit(1)).alias("keys"),
+                F.sum((F.col(schemas.OP_COL) == "D").cast("long")).alias(
+                    "deletes"
+                ),
+            ]
+            if collect_keys:
+                aggs.append(
+                    F.slice(
+                        F.sort_array(F.collect_set(F.col(key_col))), 1, lim + 1
+                    ).alias("key_list")
+                )
+            brows = batch.groupBy(BUCKET_COL).agg(*aggs).collect()
             n_keys = sum(int(r["keys"]) for r in brows)
             n_deletes = sum(int(r["deletes"] or 0) for r in brows)
             if n_keys == 0:
@@ -187,101 +285,64 @@ class CdcIngestJob:
                     epoch,
                     empty_df(self.spark, self._state_schema(batch)),
                     [],
-                    lsn_lo_excl,
-                    lsn_hi_incl,
+                    lsn_lo,
+                    lsn_hi,
                     self.table.current_schema(),
                     {"events_in": 0, "keys": 0},
                 )
                 return {"epoch": epoch, "keys": 0}
 
             touched = [int(r[BUCKET_COL]) for r in brows]
-
-            mor = self.cfg.storage == "mor"
-            # The probe's salt feeds salted_repartition on the MOR write;
-            # the COW write range-partitions (its sampler balances hot
-            # buckets), so there the probe would be a pure driver-serial
-            # round trip — skip it (measured: each control job costs
-            # ~0.1-1s of un-parallelizable wall per epoch).
-            hh = (
-                heavy_hitter_probe(batch, "conv_id")
-                if (mor and self.cfg.probe_heavy_hitters)
-                else []
+            keys_by_bucket: dict[str, list] | None = None
+            if collect_keys and n_keys <= lim:
+                # A missing bucket entry means "unknown" → plan_cow_merge
+                # rewrites that whole bucket; buckets whose key set
+                # overflowed the slice cap are simply left out.
+                keys_by_bucket = {
+                    str(int(r[BUCKET_COL])): list(r["key_list"])
+                    for r in brows
+                    if r["key_list"] is not None and len(r["key_list"]) <= lim
+                }
+            hot, kept = self.table.plan_cow_merge(
+                touched, keys_by_bucket, self.cfg.max_files_per_bucket
             )
-            salt = choose_salt(hh)
-            if mor:
-                # Merge-on-read: the dedup'd batch IS the delta (lsn/op
-                # kept, deletes as tombstones). No snapshot read, no merge
-                # join, no rewrite — write cost is O(batch) regardless of
-                # table size; readers fold LWW (MergeOnReadTable).
-                new_schema = schemas.evolve(
-                    self.table.current_schema(), batch.drop(BUCKET_COL).schema
-                )
-                # MOR deltas: spread hot buckets with a salt derived from
-                # the full key — salting the write shuffle only, never the
-                # dedup window (SURVEY §7.2).
-                new_state = salted_repartition(
-                    batch,
-                    [BUCKET_COL],
-                    salt,
-                    num_partitions=self.cfg.write_partitions,
-                )
-                kept: dict[str, list[str]] = {}
-                n_hot = n_kept = 0
-            else:
-                # Copy-on-write: MERGE against only the files of the
-                # touched buckets that can contain a batch key (per-file
-                # key-range stats from the manifests — plan_cow_merge);
-                # provably-untouched files are carried forward unrewritten.
-                # Schema evolution: union-by-name the batch's payload
-                # columns into the table schema (additive only).
-                new_schema = schemas.evolve(
-                    self.table.current_schema(),
-                    batch.drop(schemas.LSN_COL, schemas.OP_COL, BUCKET_COL).schema,
-                )
-                # The distinct-key collect exists only to prune existing
-                # files; when the touched buckets hold none (epoch 0, fresh
-                # buckets) it would be a wasted driver round trip.
-                keys_by_bucket = (
-                    self._collect_prune_keys(batch, n_keys)
-                    if self.table.has_live_files(touched)
-                    else {}
-                )
-                hot, kept = self.table.plan_cow_merge(
-                    touched, keys_by_bucket, self.cfg.max_files_per_bucket
-                )
-                n_hot, n_kept = len(hot), sum(len(v) for v in kept.values())
-                snapshot = self.table.read_files(self.spark, hot)
-                merged = merge_apply(
-                    snapshot,
-                    batch.drop(BUCKET_COL),
-                    key_cols=schemas.KEY_COLS,
-                    broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
-                )
-                # Re-derive the bucket from conv_id (deterministic), then
-                # RANGE-cluster the write on (bucket, key): each output
-                # file covers a tight key interval, which is exactly what
-                # makes the next epoch's file pruning selective. The range
-                # partitioner's sampling also balances hot buckets (the
-                # role salting plays on the MOR path).
-                new_state = merged.withColumn(
-                    BUCKET_COL,
-                    bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
-                )
-                n_parts = self.cfg.write_partitions or int(
-                    self.spark.conf.get("spark.sql.shuffle.partitions")
-                )
-                new_state = new_state.repartitionByRange(
-                    n_parts,
-                    F.col(BUCKET_COL),
-                    F.col(self.table.meta["bucket_by"]),
-                ).sortWithinPartitions(BUCKET_COL, self.table.meta["bucket_by"])
+            n_hot, n_kept = len(hot), sum(len(v) for v in kept.values())
+            # Schema evolution: union-by-name the batch's payload columns
+            # into the table schema (additive only).
+            new_schema = schemas.evolve(
+                self.table.current_schema(),
+                batch.drop(schemas.LSN_COL, schemas.OP_COL, BUCKET_COL).schema,
+            )
+            snapshot = self.table.read_files(self.spark, hot)
+            merged = merge_apply(
+                snapshot,
+                batch.drop(BUCKET_COL),
+                key_cols=schemas.KEY_COLS,
+                broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
+            )
+            # Re-derive the bucket from conv_id (deterministic), then
+            # RANGE-cluster the write on (bucket, key): each output file
+            # covers a tight key interval, which is exactly what makes the
+            # next epoch's file pruning selective. The range partitioner's
+            # sampling also balances hot buckets (the role salting plays on
+            # the MOR path — COW needs no probe and no salt).
+            new_state = merged.withColumn(
+                BUCKET_COL,
+                bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
+            )
+            n_parts = self.cfg.write_partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            new_state = new_state.repartitionByRange(
+                n_parts,
+                F.col(BUCKET_COL),
+                F.col(self.table.meta["bucket_by"]),
+            ).sortWithinPartitions(BUCKET_COL, self.table.meta["bucket_by"])
 
             metrics = {
-                "storage": self.cfg.storage,
+                "storage": "cow",
                 "keys": n_keys,
                 "deletes_in_batch": n_deletes,
-                "heavy_hitters": hh[:5],
-                "salt": salt,
                 "files_rewritten": n_hot,
                 "files_kept": n_kept,
                 "duration_prepare_s": round(time.time() - t0, 3),
@@ -290,41 +351,21 @@ class CdcIngestJob:
                 epoch,
                 new_state,
                 touched,
-                lsn_lo_excl,
-                lsn_hi_incl,
+                lsn_lo,
+                lsn_hi,
                 new_schema,
                 metrics,
-                append=mor,
                 kept_files=kept,
             )
             return {
                 "epoch": epoch,
                 "keys": n_keys,
                 "touched_buckets": len(touched),
-                "salt": salt,
                 "committed": committed,
                 "seconds": round(time.time() - t0, 3),
             }
         finally:
             batch.unpersist()
-
-    def _collect_prune_keys(
-        self, batch: DataFrame, n_keys: int
-    ) -> dict[str, list] | None:
-        """Per-bucket SORTED distinct key values of this batch, for file
-        pruning — or None (→ whole-bucket rewrite) when the batch is too
-        large to collect its key set to the driver. Bounded control
-        metadata: ≤ file_prune_max_keys short strings."""
-        if not self.cfg.file_granular_cow or n_keys > self.cfg.file_prune_max_keys:
-            return None
-        key_col = self.table.meta["bucket_by"]
-        rows = batch.select(BUCKET_COL, key_col).distinct().collect()
-        out: dict[str, list] = {}
-        for r in rows:
-            out.setdefault(str(int(r[BUCKET_COL])), []).append(r[key_col])
-        for v in out.values():
-            v.sort()
-        return out
 
     def _state_schema(self, batch: DataFrame):
         from pyspark.sql import types as T

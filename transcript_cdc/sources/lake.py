@@ -332,6 +332,7 @@ class ParquetSnapshotTable:
         metrics: dict | None = None,
         append: bool = False,
         kept_files: dict[str, list[str]] | None = None,
+        observation=None,
     ) -> bool:
         """Write the new state of the touched buckets and commit atomically.
 
@@ -351,6 +352,12 @@ class ParquetSnapshotTable:
 
         Returns False (and writes nothing) if the epoch is already
         committed — the exactly-once re-run guard (SURVEY.md §2.1 S8/T4).
+
+        ``observation``: a pyspark Observation attached to the batch plan.
+        When given, epoch metrics (keys, deletes) and — if
+        ``touched_buckets`` is None — the touched-bucket list are read from
+        it AFTER the write: the write job computes them as a side effect,
+        so committing an epoch needs NO separate driver round trips.
         """
         if self.is_committed(epoch):
             return False
@@ -368,6 +375,18 @@ class ParquetSnapshotTable:
             .parquet(epoch_dir)
         )
         write_s = time.time() - t0
+
+        if observation is not None:
+            om = observation.get  # resolved: the write job just ran the plan
+            metrics = {
+                **(metrics or {}),
+                "keys": int(om.get("keys") or 0),
+                "deletes_in_batch": int(om.get("deletes") or 0),
+            }
+            if touched_buckets is None:
+                touched_buckets = sorted(int(b) for b in (om.get("buckets") or []))
+        elif touched_buckets is None:
+            raise ValueError("touched_buckets required without an observation")
 
         # Inventory written files per bucket. In COW mode, touched buckets
         # that ended empty (all rows deleted) get [] so they shadow prior
@@ -420,6 +439,17 @@ class ParquetSnapshotTable:
                     ),
                 ):
                     file_stats[r] = st
+            # Per-bucket rows of the files written THIS epoch, free from the
+            # footer stats: lineage + the lagged skew signal the next
+            # epoch's salt is chosen from (operators/skew.choose_salt).
+            for b2, fl in bucket_files.items():
+                n = sum(
+                    int(file_stats[r]["rows"] or 0)
+                    for r in fl
+                    if r in file_stats and file_stats[r].get("rows") is not None
+                )
+                if n:
+                    bucket_counts[b2] = n
 
         manifest = {
             "epoch": epoch,
@@ -529,7 +559,7 @@ class MergeOnReadTable(ParquetSnapshotTable):
         Default (``local_fold=True``): BUCKET-LOCAL fold with zero data
         shuffle — the key is a function of the bucket, so each bucket's
         chain can be merged independently; one task per bucket reads its
-        manifested files and folds them vectorized (pyarrow + pandas),
+        manifested files and folds them in pure Arrow compute (mapInArrow),
         exactly how Iceberg/Delta MOR readers merge per file-group. The
         only exchange in the plan is the ≤n_buckets-row file-list relation
         (round-1 verdict: the window fold's full-table exchange per
@@ -591,17 +621,23 @@ class MergeOnReadTable(ParquetSnapshotTable):
         arrow_schema_json = schema.json()
 
         def fold(batches):
+            """Pure-Arrow LWW fold (mapInArrow): no pandas round trip —
+            Spark's pandas serializer mishandles ArrowDtype-backed columns
+            (multi-chunk arrays, tz-naive timestamps) on the return path,
+            and Arrow compute is faster anyway. Sort by (key..., lsn) asc
+            (lsn is globally unique → total order), then keep each key
+            group's LAST row via an adjacent-inequality boundary mask."""
             import json as _json
 
-            import pandas as _pd
             import pyarrow as _pa
+            import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType as _St
 
             target = to_arrow_schema(_St.fromJson(_json.loads(arrow_schema_json)))
-            for pdf in batches:
-                for files in pdf["files"]:
+            for rb in batches:
+                for files in rb.column("files").to_pylist():
                     tabs = []
                     for f in files:
                         t = _pq.read_table(f)
@@ -613,18 +649,40 @@ class MergeOnReadTable(ParquetSnapshotTable):
                             else:
                                 arrays.append(_pa.nulls(len(t), fld.type))
                         tabs.append(_pa.table(arrays, schema=target))
-                    full = _pa.concat_tables(tabs)
-                    d = full.to_pandas(types_mapper=_pd.ArrowDtype)
-                    d = d.sort_values(key_cols + [lsn_col], kind="stable")
-                    d = d.drop_duplicates(subset=key_cols, keep="last")
+                    full = _pa.concat_tables(tabs).combine_chunks()
+                    n = full.num_rows
+                    if n == 0:
+                        continue
+                    full = full.take(
+                        _pc.sort_indices(
+                            full,
+                            sort_keys=[
+                                (c, "ascending") for c in [*key_cols, lsn_col]
+                            ],
+                        )
+                    )
+                    if n > 1:
+                        boundary = None
+                        for c in key_cols:
+                            col = full[c]
+                            d = _pc.not_equal(col.slice(0, n - 1), col.slice(1, n))
+                            boundary = d if boundary is None else _pc.or_(boundary, d)
+                        if isinstance(boundary, _pa.ChunkedArray):
+                            boundary = boundary.combine_chunks()
+                        mask = _pa.chunked_array([boundary, _pa.array([True])])
+                        full = full.filter(mask)
                     if drop_tombstones:
-                        d = d[d[op_col] != "D"]
-                    yield d[out_cols]
+                        full = full.filter(
+                            _pc.not_equal(full[op_col], _pa.scalar("D"))
+                        )
+                    for ob in full.select(out_cols).to_batches():
+                        if ob.num_rows:
+                            yield ob
 
         files_df = spark.createDataFrame(
             items, "bucket int, files array<string>"
         ).repartition(max(len(items), 1), F.col("bucket"))
-        return files_df.mapInPandas(fold, schema=out_schema)
+        return files_df.mapInArrow(fold, schema=out_schema)
 
     def read_conversation(
         self, spark: SparkSession, conv_id: str, with_bucket_col: bool = False
