@@ -22,6 +22,9 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=256)
     ap.add_argument("--write-partitions", type=int, default=None)
     ap.add_argument("--compact-every", type=int, default=8)
+    # compact only buckets fragmented past this chain length (0 = all);
+    # on a long-running feed this keeps maintenance cost ∝ fragmentation
+    ap.add_argument("--compact-min-files", type=int, default=0)
     ap.add_argument("--max-epochs", type=int, default=None)
     args = ap.parse_args()
 
@@ -36,6 +39,7 @@ def main() -> None:
         write_partitions=args.write_partitions,
         storage=args.storage,
         compact_every=args.compact_every if args.storage == "mor" else 0,
+        compact_min_files=args.compact_min_files,
     )
     job = CdcIngestJob(spark, args.changes, args.table, cfg)
     results = job.run(max_epochs=args.max_epochs)

@@ -103,6 +103,67 @@ def test_expire_after_compaction_removes_superseded_deltas(spark, feed, tmp_path
         job.table.read_snapshot(spark, as_of_epoch=0)
 
 
+def test_selective_compaction_targets_fragmented_buckets(spark, feed, tmp_path):
+    """compact(min_files=K) rewrites ONLY buckets whose delta chain exceeds
+    K files (Iceberg binpack-style targeted maintenance): untouched buckets
+    keep their exact file lists, the resolved state is preserved, and a
+    re-run with nothing fragmented is a skip — recurring compaction cost
+    tracks fragmentation, not table size."""
+    from pyspark.sql import functions as F
+
+    from transcript_cdc.sources.lake import BUCKET_COL, bucket_expr
+
+    root = str(tmp_path / "t")
+    job = CdcIngestJob(
+        spark, feed["dir"], root,
+        IngestConfig(n_buckets=4, epoch_events=150, storage="mor"),
+    )
+    job.run()
+    t = job.table
+    t.compact(spark)  # full: every bucket folds to a fresh 1-file base
+
+    # Fragment exactly ONE bucket: append a 1-row update delta for a single
+    # conversation (commit_epoch append=True is the unit under test's input
+    # shape — the ingest loop writes the same thing).
+    conv = feed["oracle"]["conv_id"].iloc[0]
+    b = t.bucket_of(spark, conv)
+    last = t.last_committed()
+    delta = (
+        t.read_resolved(spark, buckets=[b], with_version_cols=True)
+        .filter(F.col("conv_id") == conv).orderBy("turn_idx").limit(1)
+        .withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+        .withColumn("text", F.lit("fragmented"))
+        .withColumn("op", F.lit("U"))
+        .withColumn(BUCKET_COL, bucket_expr(t.n_buckets, t.meta["bucket_by"]))
+    )
+    t.commit_epoch(
+        int(last["epoch"]) + 1, delta, [b],
+        int(last["lsn_hi"]), int(last["lsn_hi"]) + 1,
+        t.current_schema(), {}, append=True,
+    )
+    state_before, _ = t._current_state()
+    assert len(state_before[str(b)]) > 1
+    rows_before = t.read_resolved(spark).count()
+
+    res = t.compact(spark, min_files=1)
+    assert res["buckets_compacted"] == 1
+    state_after, _ = t._current_state()
+    # only the fragmented bucket was rewritten; every other bucket's file
+    # list is byte-identical (no O(table) rewrite)
+    assert len(state_after[str(b)]) == 1
+    for ob, files in state_before.items():
+        if ob != str(b):
+            assert state_after[ob] == files
+    # resolved state preserved: same rows, and the update won
+    assert t.read_resolved(spark).count() == rows_before
+    got = (
+        t.read_conversation(spark, conv).orderBy("turn_idx").first()["text"]
+    )
+    assert got == "fragmented"
+    # nothing fragmented anymore → skip, not a full rewrite
+    assert t.compact(spark, min_files=1)["skipped"] == "no-fragmented-buckets"
+
+
 def test_expire_on_cow_removes_old_generations(spark, feed, tmp_path):
     root = str(tmp_path / "t")
     job = CdcIngestJob(

@@ -1,7 +1,12 @@
 from transcript_cdc.operators.dedup import lww_dedup, union_dedup
 from transcript_cdc.operators.merge import merge_apply, merge_apply_versioned
 from transcript_cdc.operators.sessionize import session_summary, sessionize
-from transcript_cdc.operators.skew import heavy_hitter_probe, salted_repartition
+from transcript_cdc.operators.skew import (
+    choose_salt,
+    heavy_hitter_probe,
+    lagged_salt,
+    salted_repartition,
+)
 
 __all__ = [
     "lww_dedup",
@@ -10,6 +15,8 @@ __all__ = [
     "merge_apply_versioned",
     "sessionize",
     "session_summary",
+    "choose_salt",
     "heavy_hitter_probe",
+    "lagged_salt",
     "salted_repartition",
 ]

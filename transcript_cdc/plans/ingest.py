@@ -79,6 +79,10 @@ class IngestConfig:
     #        the Iceberg-v2 upsert shape for high-update feeds).
     storage: str = "cow"
     compact_every: int = 0  # mor only: auto-compact every K epochs (0 = never)
+    # mor only: auto-compaction rewrites ONLY buckets whose delta chain
+    # exceeds this many files (Iceberg binpack-style targeted maintenance);
+    # 0 = full compaction of every non-empty bucket.
+    compact_min_files: int = 0
     expire_on_compact: bool = False  # GC superseded files after each compaction
     # File-granular COW (Iceberg-style metadata pruning of the MERGE write
     # side): rewrite only the files whose key range intersects the batch.
@@ -262,8 +266,23 @@ class CdcIngestJob:
         try:
             key_col = self.table.meta["bucket_by"]
             lim = self.cfg.file_prune_max_keys
+            # Lagged size gate (same trick as the salt): epoch sizes are
+            # stable under a fixed LSN window, so the previous epoch's key
+            # count predicts whether this batch's key set is collectable at
+            # all — when it isn't, skip the key-list aggregation entirely
+            # instead of computing per-bucket sets that would be discarded.
+            # A misprediction costs one epoch of capped extra transfer
+            # (the slice bound below), then the gate re-engages.
+            last_keys = int(
+                ((self.table.last_committed() or {}).get("metrics") or {}).get(
+                    "keys"
+                )
+                or 0
+            )
             collect_keys = (
-                self.cfg.file_granular_cow and self.table.has_live_files()
+                self.cfg.file_granular_cow
+                and last_keys <= lim
+                and self.table.has_live_files()
             )
             aggs = [
                 F.count(F.lit(1)).alias("keys"),
@@ -416,7 +435,9 @@ class CdcIngestJob:
                 and len(results) % self.cfg.compact_every == 0
             ):
                 self.table.compact(
-                    self.spark, write_partitions=self.cfg.write_partitions
+                    self.spark,
+                    write_partitions=self.cfg.write_partitions,
+                    min_files=self.cfg.compact_min_files,
                 )
                 if self.cfg.expire_on_compact:
                     # The compaction epoch replaced every bucket, so all

@@ -699,8 +699,15 @@ class MergeOnReadTable(ParquetSnapshotTable):
         spark: SparkSession,
         drop_tombstones: bool = True,
         write_partitions: int | None = None,
+        min_files: int = 0,
     ) -> dict:
-        """Fold every bucket's delta chain into a fresh base (one commit).
+        """Fold fragmented buckets' delta chains into a fresh base (one
+        commit). ``min_files`` selects which buckets: only those whose live
+        chain exceeds that many files are rewritten (0 = all buckets —
+        full compaction). A partial compaction commits a replace-style
+        manifest listing ONLY the compacted buckets; untouched buckets keep
+        their chains — Iceberg binpack-style targeted maintenance, so
+        recurring compaction cost tracks fragmentation, not table size.
 
         ``drop_tombstones=True`` is safe when ingestion is lsn-windowed
         (the batch epoch loop): no event older than the compaction horizon
@@ -710,10 +717,19 @@ class MergeOnReadTable(ParquetSnapshotTable):
         last = self.last_committed()
         if last is None:
             return {"skipped": "empty-table"}
+        state, _ = self._current_state()
+        targets = sorted(
+            int(b) for b, fl in state.items() if fl and len(fl) > min_files
+        )
+        if not targets:
+            return {"skipped": "no-fragmented-buckets", "min_files": min_files}
         # Bucket-local fold: compaction is embarrassingly parallel per
         # bucket — no global exchange (same path as read_resolved).
         folded = self._read_resolved_local(
-            spark, with_version_cols=True, drop_tombstones=drop_tombstones
+            spark,
+            buckets=targets,
+            with_version_cols=True,
+            drop_tombstones=drop_tombstones,
         )
         folded = folded.withColumn(
             BUCKET_COL, bucket_expr(self.n_buckets, self.meta["bucket_by"])
@@ -724,14 +740,23 @@ class MergeOnReadTable(ParquetSnapshotTable):
         committed = self.commit_epoch(
             epoch,
             folded,
-            list(range(self.n_buckets)),  # all buckets rewritten to base
+            targets,  # replace-style: only these buckets get a fresh base
             int(last["lsn_hi"]),
             int(last["lsn_hi"]),
             self.current_schema(),
-            {"mode": "compaction", "drop_tombstones": drop_tombstones},
+            {
+                "mode": "compaction",
+                "drop_tombstones": drop_tombstones,
+                "min_files": min_files,
+                "buckets_compacted": len(targets),
+            },
             append=False,
         )
-        return {"epoch": epoch, "committed": committed}
+        return {
+            "epoch": epoch,
+            "committed": committed,
+            "buckets_compacted": len(targets),
+        }
 
 
 def _parquet_key_stats(path: str, key_col: str) -> dict:
