@@ -140,6 +140,40 @@ def test_apply_batch_redelivery_is_noop(spark, stream_data, tmp_path):
     pd.testing.assert_frame_equal(_state(ingest), state_after_first)
 
 
+def test_stream_file_granular_merge_keeps_untouched_files(spark, stream_data, tmp_path):
+    """A micro-batch touching ONE conversation must not rewrite its whole
+    bucket: the manifest records carried-forward (kept) files, the rewrite
+    set is a strict subset, and the state still matches the dict oracle —
+    the streaming twin of the batch path's file-granular COW."""
+    ingest = StreamingIngest(
+        spark,
+        stream_data["dir"],
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        StreamConfig(n_buckets=4),
+    )
+    ev = stream_data["events"]
+    seed = ev.iloc[: len(ev) // 2]
+    ingest.apply_batch(
+        spark.createDataFrame(seed, schema=schemas.CHANGE_SCHEMA_EVOLVED), 0
+    )
+    state0, _ = ingest.table._current_state()
+    assert any(len(fl) > 1 for fl in state0.values())  # range-clustered files
+
+    conv = seed.iloc[0]["conv_id"]
+    sub = seed[seed["conv_id"] == conv].copy()
+    sub["lsn"] = sub["lsn"] + 10_000_000
+    ingest.apply_batch(
+        spark.createDataFrame(sub, schema=schemas.CHANGE_SCHEMA_EVOLVED), 1
+    )
+    m = ingest.table.read_manifest(1)
+    assert m["metrics"]["files_kept"] > 0
+    total_before = sum(len(fl) for fl in state0.values())
+    assert m["metrics"]["files_rewritten"] < total_before
+    oracle = replay_oracle(pd.concat([seed, sub]), normalize=True)
+    _assert_matches(_state(ingest), oracle)
+
+
 def test_out_of_order_micro_batches(spark, stream_data, tmp_path):
     """Micro-batches applied in scrambled lsn order still converge to the
     oracle: the versioned merge resolves by max lsn and delete tombstones

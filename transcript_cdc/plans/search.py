@@ -158,16 +158,17 @@ def hybrid_search(
         base.withColumn("score", lexical_score(text_col, terms)),
         "score", per_retriever_k, tiebreak=id_cols,
     )
+    # built once: each construction embeds the query (a 1-row driver job
+    # on the xx64 path); the unresolved Column tree is reusable across
+    # both the retrieval branch and the rerank blend
+    sem_score = embedding_score(text_col, query_text, hash_fn=hash_fn)
     sem = top_k(
-        base.withColumn("score", embedding_score(text_col, query_text, hash_fn=hash_fn)),
+        base.withColumn("score", sem_score),
         "score", per_retriever_k, tiebreak=id_cols,
     )
     merged = union_dedup(lex, sem, id_cols, "score", tiebreak=F.col(id_cols[0]))
     # rerank: blend lexical and semantic (the cross-encoder stand-in)
-    blended = (
-        lexical_score(text_col, terms)
-        + embedding_score(text_col, query_text, hash_fn=hash_fn)
-    ) / 2
+    blended = (lexical_score(text_col, terms) + sem_score) / 2
     return rerank(merged, blended, top_k_final, tiebreak=id_cols)
 
 

@@ -23,10 +23,77 @@ class ChangeFeed:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # incremental footer-merge cache: (merged arrow schema, seen files)
+        self._schema_seen: set[str] = set()
+        self._schema_arrow = None
+
+    def _files(self) -> list[str]:
+        import glob as _glob
+        import os as _os
+
+        return _glob.glob(_os.path.join(self.path, "*.parquet")) or _glob.glob(
+            _os.path.join(self.path, "**", "*.parquet"), recursive=True
+        )
+
+    def _merged_schema(self):
+        """Feed schema unified across evolution points, from parquet FOOTERS
+        driver-side — ``mergeSchema=true`` schedules a distributed
+        schema-inference job over every segment on EVERY read (one such job
+        per epoch in the replay loop, profiled at 0.1-1s wall each). The
+        footer merge is threaded metadata I/O, and incremental: only
+        segments not seen by a previous call are read, so a long-running
+        tail pays O(new files) per epoch, not O(feed)."""
+        import concurrent.futures
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = self._files()
+        if not files:
+            raise FileNotFoundError(self.path)
+        new = sorted(f for f in files if f not in self._schema_seen)
+        if new:
+            with concurrent.futures.ThreadPoolExecutor(
+                min(16, len(new))
+            ) as ex:
+                fresh = list(ex.map(pq.read_schema, new))
+            base = [] if self._schema_arrow is None else [self._schema_arrow]
+            self._schema_arrow = pa.unify_schemas(base + fresh)
+            self._schema_seen.update(new)
+        return from_arrow_schema(self._schema_arrow)
 
     def read(self) -> DataFrame:
-        """Whole feed, schema-merged across evolution points."""
-        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        """Whole feed, schema-merged across evolution points (additive-only,
+        per the engine's evolution contract — schemas.additive_diff)."""
+        try:
+            schema = self._merged_schema()
+        except Exception:
+            # missing/odd footers → let Spark's distributed merge decide
+            return self.spark.read.option("mergeSchema", "true").parquet(self.path)
+        # Match Spark's own inference for naive parquet timestamps: arrow
+        # maps them to NTZ, but with inferTimestampNTZ disabled Spark reads
+        # them as TIMESTAMP_LTZ — the explicit schema must agree with what
+        # the session would have inferred, or the batch's ts type would
+        # diverge from the lake schema.
+        from pyspark.sql import types as T
+
+        infer_ntz = (
+            self.spark.conf.get(
+                "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+            ).lower()
+            == "true"
+        )
+        if not infer_ntz:
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, T.TimestampType(), f.nullable)
+                    if isinstance(f.dataType, T.TimestampNTZType)
+                    else f
+                    for f in schema.fields
+                ]
+            )
+        return self.spark.read.schema(schema).parquet(self.path)
 
     def read_range(self, lsn_lo_excl: int, lsn_hi_incl: int) -> DataFrame:
         """One epoch's slice: lsn in (lo, hi]. Pushed to the scan."""

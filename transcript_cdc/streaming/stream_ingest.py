@@ -62,6 +62,12 @@ class StreamConfig:
     normalize: bool = True
     arrow_normalizer: bool = True
     write_partitions: int | None = None
+    # File-granular COW (same machinery as the batch path,
+    # plans/ingest.py): merge only the files whose key range intersects
+    # the micro-batch; carry provably-untouched files forward unread.
+    file_granular: bool = True
+    file_prune_max_keys: int = 200_000
+    max_files_per_bucket: int = 64
 
 
 class StreamingIngest:
@@ -179,52 +185,100 @@ class StreamingIngest:
             BUCKET_COL, bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"])
         ).persist()
         try:
-            agg = batch.agg(
+            # ONE bounded control collect (≤ n_buckets rows) yields the key
+            # count, the batch's lsn range, the touched-bucket list AND —
+            # when the table has live files to prune against — each
+            # bucket's sorted distinct key set for file-granular COW.
+            # (Round 1 ran a global agg and a distinct-bucket scan as two
+            # separate driver jobs per micro-batch and rewrote every
+            # touched bucket in full.) Gates mirror plans/ingest.py: the
+            # previous commit's key count predicts collectability (lagged),
+            # and the slice caps worst-case driver transfer.
+            key_col = self.table.meta["bucket_by"]
+            lim = self.cfg.file_prune_max_keys
+            last_keys = int(
+                ((self.table.last_committed() or {}).get("metrics") or {}).get(
+                    "keys"
+                )
+                or 0
+            )
+            collect_keys = (
+                self.cfg.file_granular
+                and last_keys <= lim
+                and self.table.has_live_files()
+            )
+            aggs = [
                 F.count(F.lit(1)).alias("keys"),
                 F.min("lsn").alias("lsn_lo"),
                 F.max("lsn").alias("lsn_hi"),
-            ).collect()[0]
-            n_keys = int(agg["keys"] or 0)
+            ]
+            if collect_keys:
+                aggs.append(
+                    F.slice(
+                        F.sort_array(F.collect_set(F.col(key_col))), 1, lim + 1
+                    ).alias("key_list")
+                )
+            brows = batch.groupBy(BUCKET_COL).agg(*aggs).collect()
+            n_keys = sum(int(r["keys"]) for r in brows)
             if n_keys == 0:
                 return {"epoch": int(epoch_id), "keys": 0, "skipped": "empty"}
-            touched = [
-                r[BUCKET_COL] for r in batch.select(BUCKET_COL).distinct().collect()
-            ]
+            touched = [int(r[BUCKET_COL]) for r in brows]
+            lsn_lo = min(int(r["lsn_lo"]) for r in brows)
+            lsn_hi = max(int(r["lsn_hi"]) for r in brows)
+            keys_by_bucket = None
+            if collect_keys and n_keys <= lim:
+                keys_by_bucket = {
+                    str(int(r[BUCKET_COL])): list(r["key_list"])
+                    for r in brows
+                    if r["key_list"] is not None and len(r["key_list"]) <= lim
+                }
+            hot, kept = self.table.plan_cow_merge(
+                touched, keys_by_bucket, self.cfg.max_files_per_bucket
+            )
 
             table_schema = self.table.current_schema()
             new_schema = schemas.evolve(
                 table_schema, batch.drop(BUCKET_COL).schema
             )
-            snapshot = self.table.read_snapshot(self.spark, buckets=touched)
+            snapshot = self.table.read_files(self.spark, hot)
             merged = merge_apply_versioned(
                 snapshot, batch.drop(BUCKET_COL), key_cols=schemas.KEY_COLS
             )
+            # Range-cluster the write on (bucket, key) so every output file
+            # covers a tight key interval — what keeps the NEXT
+            # micro-batch's file pruning selective (same as the batch path).
             new_state = merged.withColumn(
                 BUCKET_COL,
                 bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
             )
-            if self.cfg.write_partitions:
-                new_state = new_state.repartition(
-                    self.cfg.write_partitions, F.col(BUCKET_COL)
-                )
+            n_parts = self.cfg.write_partitions or int(
+                self.spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            new_state = new_state.repartitionByRange(
+                n_parts, F.col(BUCKET_COL), F.col(key_col)
+            ).sortWithinPartitions(BUCKET_COL, key_col)
             self.table.commit_epoch(
                 epoch_id,
                 new_state,
                 touched,
-                int(agg["lsn_lo"]),
-                int(agg["lsn_hi"]),
+                lsn_lo,
+                lsn_hi,
                 new_schema,
                 {
                     "mode": "streaming",
                     "checkpoint_id": ckpt_id,
                     "keys": n_keys,
+                    "files_rewritten": len(hot),
+                    "files_kept": sum(len(v) for v in kept.values()),
                     "duration_s": round(time.time() - t0, 3),
                 },
+                kept_files=kept,
             )
             return {
                 "epoch": int(epoch_id),
                 "keys": n_keys,
                 "touched_buckets": len(touched),
+                "files_rewritten": len(hot),
             }
         finally:
             batch.unpersist()
