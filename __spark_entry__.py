@@ -537,6 +537,89 @@ def q_top3_per_user_events(spark, sf):
     )
 
 
+def q_asof_join_events(spark, sf):
+    """As-of (point-in-time) join: each click joined to the newest 'view'
+    by the same user at-or-before its timestamp (operators/asof.py — the
+    union+window composition; one shuffle, no range explosion). The view
+    side is LWW-deduped per (user_id, ts) so equal-timestamp winners are
+    deterministic on both engines."""
+    from transcript_cdc.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = lww_dedup(
+        ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        "event_id",
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_value_cols=["event_id", "value"], prefix="view_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "view_ts", "view_event_id",
+        F.round("view_value", 4).alias("view_value"),
+    )
+
+
+def q_changelog_events(spark, sf):
+    """Incremental changelog read (CDC tap): replay `events` into a
+    merge-on-read lake table in two epochs split at mid-LSN, then emit the
+    net per-key changes committed by epoch 1 via
+    MergeOnReadTable.read_changes — insert/update/delete classification
+    with before/after images, folded bucket-locally with zero data
+    shuffle. Deletes are synthesized deterministically (value < 5.0)."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc.sources.lake import BUCKET_COL, MergeOnReadTable, bucket_expr
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("value") < 5.0, "D").otherwise("U").alias("op"),
+        "user_id", "event_type", "value",
+    )
+    mid = int(ev.agg(F.floor(F.max("lsn") / 2).cast("long")).first()[0])
+    shm = "/dev/shm" if _os.access("/dev/shm", _os.W_OK) else None
+    # The returned DataFrame reads this table lazily (the caller collects
+    # after we return), so the temp dir must outlive this function.
+    root = tempfile.mkdtemp(prefix="changelog_q_", dir=shm)
+    n_buckets = 8
+    t = MergeOnReadTable.create(
+        root,
+        StructType.fromDDL(
+            "user_id long, event_type string, value double, lsn long, op string"
+        ),
+        n_buckets=n_buckets,
+        key_cols=("user_id", "event_type"),
+        bucket_by="user_id",
+    )
+    windows = [
+        (-1, mid, ev.filter(F.col("lsn") <= mid)),
+        (mid, 2 * mid + 2, ev.filter(F.col("lsn") > mid)),
+    ]
+    for epoch, (lo, hi, batch) in enumerate(windows):
+        delta = lww_dedup(batch, ["user_id", "event_type"], "lsn").withColumn(
+            BUCKET_COL, bucket_expr(n_buckets, "user_id")
+        )
+        t.commit_epoch(
+            epoch, delta, list(range(n_buckets)), lo, hi,
+            delta.drop(BUCKET_COL).schema, append=True,
+        )
+    ch = t.read_changes(spark, from_epoch=0, to_epoch=1)
+    return ch.select(
+        "change_type", "user_id", "event_type",
+        F.round("value_before", 4).alias("value_before"),
+        F.round("value_after", 4).alias("value_after"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_dedup_events": q_lww_dedup_events,
@@ -580,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_hourly_events": q_window_hourly_events,
         "anti_join_customers": q_anti_join_customers,
         "top3_per_user_events": q_top3_per_user_events,
+        "asof_join_events": q_asof_join_events,
+        "changelog_events": q_changelog_events,
     }
 
 
@@ -874,6 +959,63 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY value DESC, event_id ASC) AS rk
                 FROM events)
             WHERE rk <= 3
+        """,
+        "asof_join_events": """
+            WITH views AS (
+                SELECT user_id, ts, event_id, value FROM (
+                    SELECT user_id, ts, event_id, value,
+                           row_number() OVER (
+                               PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'view')
+                WHERE rn = 1
+            ),
+            clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.ts AS view_ts, v.event_id AS view_event_id,
+                   round(v.value, 4) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "changelog_events": """
+            WITH ev AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5.0 THEN 'D' ELSE 'U' END AS op,
+                       user_id, event_type, value
+                FROM events
+            ),
+            m AS (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) AS mid FROM ev),
+            a AS (
+                SELECT * FROM (
+                    SELECT e.*, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY lsn DESC) AS rn
+                    FROM ev e, m WHERE lsn <= m.mid)
+                WHERE rn = 1
+            ),
+            r AS (
+                SELECT * FROM (
+                    SELECT e.*, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY lsn DESC) AS rn
+                    FROM ev e, m WHERE lsn > m.mid)
+                WHERE rn = 1
+            )
+            SELECT CASE WHEN r.op = 'D' THEN 'delete'
+                        WHEN a.user_id IS NOT NULL AND a.op <> 'D'
+                             THEN 'update'
+                        ELSE 'insert' END AS change_type,
+                   r.user_id, r.event_type,
+                   round(CASE WHEN a.op <> 'D' THEN a.value END, 4)
+                       AS value_before,
+                   round(CASE WHEN r.op <> 'D' THEN r.value END, 4)
+                       AS value_after
+            FROM r LEFT JOIN a USING (user_id, event_type)
+            WHERE NOT (r.op = 'D'
+                       AND (a.user_id IS NULL OR a.op = 'D'))
         """,
         # Generated twins (transcript_cdc/oracle_twins.py) — same seeded
         # constants and IEEE-ordered float math as the Spark queries:

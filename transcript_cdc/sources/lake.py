@@ -52,6 +52,58 @@ from transcript_cdc import schemas
 BUCKET_COL = "__bucket"
 
 
+def _arrow_lww_fold(files, target, key_cols, lsn_col):
+    """Pure-Arrow last-writer-wins fold of a delta-file chain (worker-side).
+
+    Reads each file, null-pads columns the older files lack (additive
+    schema evolution), concatenates, sorts by (key..., lsn) ascending (lsn
+    is globally unique → total order) and keeps each key group's LAST row
+    via an adjacent-inequality boundary mask. Tombstones are KEPT — the
+    caller decides (resolved read drops them; the changelog classifies
+    them). Returns a pyarrow.Table with the ``target`` schema.
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    tabs = []
+    for f in files:
+        t = _pq.read_table(f)
+        arrays = []
+        for fld in target:
+            if t.schema.get_field_index(fld.name) >= 0:
+                arrays.append(t[fld.name].cast(fld.type))
+            else:
+                arrays.append(_pa.nulls(len(t), fld.type))
+        tabs.append(_pa.table(arrays, schema=target))
+    full = (
+        _pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else _pa.table(
+            {f.name: _pa.nulls(0, f.type) for f in target}, schema=target
+        )
+    )
+    n = full.num_rows
+    if n == 0:
+        return full
+    full = full.take(
+        _pc.sort_indices(
+            full, sort_keys=[(c, "ascending") for c in [*key_cols, lsn_col]]
+        )
+    )
+    if n > 1:
+        boundary = None
+        for c in key_cols:
+            col = full[c]
+            d = _pc.not_equal(col.slice(0, n - 1), col.slice(1, n))
+            boundary = d if boundary is None else _pc.or_(boundary, d)
+        if isinstance(boundary, _pa.ChunkedArray):
+            boundary = boundary.combine_chunks()
+        mask = _pa.chunked_array([boundary, _pa.array([True])])
+        full = full.filter(mask)
+    return full
+
+
 def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
     """JVM-only empty relation with the given schema.
 
@@ -624,53 +676,20 @@ class MergeOnReadTable(ParquetSnapshotTable):
             """Pure-Arrow LWW fold (mapInArrow): no pandas round trip —
             Spark's pandas serializer mishandles ArrowDtype-backed columns
             (multi-chunk arrays, tz-naive timestamps) on the return path,
-            and Arrow compute is faster anyway. Sort by (key..., lsn) asc
-            (lsn is globally unique → total order), then keep each key
-            group's LAST row via an adjacent-inequality boundary mask."""
+            and Arrow compute is faster anyway (core in _arrow_lww_fold)."""
             import json as _json
 
             import pyarrow as _pa
             import pyarrow.compute as _pc
-            import pyarrow.parquet as _pq
             from pyspark.sql.pandas.types import to_arrow_schema
             from pyspark.sql.types import StructType as _St
 
             target = to_arrow_schema(_St.fromJson(_json.loads(arrow_schema_json)))
             for rb in batches:
                 for files in rb.column("files").to_pylist():
-                    tabs = []
-                    for f in files:
-                        t = _pq.read_table(f)
-                        # additive evolution: older files lack late columns
-                        arrays = []
-                        for fld in target:
-                            if t.schema.get_field_index(fld.name) >= 0:
-                                arrays.append(t[fld.name].cast(fld.type))
-                            else:
-                                arrays.append(_pa.nulls(len(t), fld.type))
-                        tabs.append(_pa.table(arrays, schema=target))
-                    full = _pa.concat_tables(tabs).combine_chunks()
-                    n = full.num_rows
-                    if n == 0:
+                    full = _arrow_lww_fold(files, target, key_cols, lsn_col)
+                    if full.num_rows == 0:
                         continue
-                    full = full.take(
-                        _pc.sort_indices(
-                            full,
-                            sort_keys=[
-                                (c, "ascending") for c in [*key_cols, lsn_col]
-                            ],
-                        )
-                    )
-                    if n > 1:
-                        boundary = None
-                        for c in key_cols:
-                            col = full[c]
-                            d = _pc.not_equal(col.slice(0, n - 1), col.slice(1, n))
-                            boundary = d if boundary is None else _pc.or_(boundary, d)
-                        if isinstance(boundary, _pa.ChunkedArray):
-                            boundary = boundary.combine_chunks()
-                        mask = _pa.chunked_array([boundary, _pa.array([True])])
-                        full = full.filter(mask)
                     if drop_tombstones:
                         full = full.filter(
                             _pc.not_equal(full[op_col], _pa.scalar("D"))
@@ -691,6 +710,185 @@ class MergeOnReadTable(ParquetSnapshotTable):
         b = self.bucket_of(spark, conv_id)
         df = self.read_resolved(spark, buckets=[b])
         return df.filter(F.col(self.meta["bucket_by"]) == F.lit(conv_id))
+
+    # ---------- incremental changelog (CDC tap) ----------
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+    ) -> DataFrame:
+        """Emit the NET per-key changes between two committed snapshots —
+        the Iceberg changelog-scan / Delta CDF equivalent, so downstream
+        consumers (index refresh, cache invalidation, replication) can tail
+        this table without re-scanning it.
+
+        Semantics: one row per key whose resolved state differs between
+        ``as_of_epoch=from_epoch`` and ``as_of_epoch=to_epoch`` (from is
+        exclusive, to inclusive — "changes since snapshot from_epoch").
+        Columns: ``change_type`` (insert / update / delete), the key
+        columns, ``{c}_before`` / ``{c}_after`` images for every value
+        column, and the winning ``lsn``. Late (out-of-order) writes that
+        lost LWW to pre-existing state emit nothing; a delete of a key that
+        never existed emits nothing.
+
+        Scale shape: the epoch range's ADDED delta files are known from the
+        manifests — per bucket, one task LWW-folds the range deltas, folds
+        the base snapshot restricted to that bucket, and classifies via an
+        Arrow hash join. Zero data shuffle (same contract as
+        read_resolved); cost is O(|range deltas| + |base of touched
+        buckets|), never O(table) for an epoch range touching few buckets.
+
+        Raises if the range contains a non-append (compaction) commit —
+        a rewrite's file diff is reorganization, not logical change; read
+        changes across ranges that lie between compactions.
+        """
+        epochs = self.committed_epochs()
+        if to_epoch is None:
+            to_epoch = epochs[-1] if epochs else from_epoch
+        in_range = [e for e in epochs if from_epoch < e <= to_epoch]
+        schema = self._current_state(to_epoch)[1]
+        key_cols = self.key_cols
+        val_cols = [
+            f.name
+            for f in schema.fields
+            if f.name not in (*key_cols, lsn_col, op_col)
+        ]
+        out_fields = [T.StructField("change_type", T.StringType())]
+        out_fields += [schema[c] for c in key_cols]
+        for c in val_cols:
+            out_fields.append(
+                T.StructField(f"{c}_before", schema[c].dataType)
+            )
+            out_fields.append(T.StructField(f"{c}_after", schema[c].dataType))
+        out_fields.append(T.StructField(lsn_col, schema[lsn_col].dataType))
+        out_schema = T.StructType(out_fields)
+        if not in_range:
+            return empty_df(spark, out_schema)
+
+        range_files: dict[str, list[str]] = {}
+        for e in in_range:
+            m = self.read_manifest(e)
+            if not m.get("append"):
+                raise ValueError(
+                    f"epoch {e} is a rewrite (compaction/COW) commit — "
+                    "changelog ranges must contain only append commits"
+                )
+            for b, fl in m["buckets"].items():
+                range_files[b] = range_files.get(b, []) + fl
+        base_state = self._current_state(from_epoch)[0]
+        items = [
+            (
+                int(b),
+                [os.path.join(self.root, f) for f in fl],
+                [os.path.join(self.root, f) for f in base_state.get(b, [])],
+            )
+            for b, fl in sorted(range_files.items())
+            if fl
+        ]
+        if not items:
+            return empty_df(spark, out_schema)
+
+        schema_json = schema.json()
+        out_names = [f.name for f in out_fields]
+
+        def classify(batches):
+            import json as _json
+
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _St
+
+            target = to_arrow_schema(_St.fromJson(_json.loads(schema_json)))
+            for rb in batches:
+                pairs = zip(
+                    rb.column("range_files").to_pylist(),
+                    rb.column("base_files").to_pylist(),
+                )
+                for rfiles, bfiles in pairs:
+                    r = _arrow_lww_fold(rfiles, target, key_cols, lsn_col)
+                    if r.num_rows == 0:
+                        continue
+                    b = _arrow_lww_fold(bfiles, target, key_cols, lsn_col)
+                    b = b.select([*key_cols, *val_cols, lsn_col, op_col])
+                    b = b.rename_columns(
+                        [
+                            *key_cols,
+                            *[f"__b_{c}" for c in val_cols],
+                            "__b_lsn",
+                            "__b_op",
+                        ]
+                    )
+                    j = r.join(b, keys=list(key_cols), join_type="left outer")
+                    lsn_b = j["__b_lsn"]
+                    # state changed iff the range winner is newer than (or
+                    # replaces) the base — late LWW losers emit nothing
+                    changed = _pc.or_kleene(
+                        _pc.is_null(lsn_b), _pc.greater(j[lsn_col], lsn_b)
+                    )
+                    b_live = _pc.and_kleene(
+                        _pc.is_valid(lsn_b),
+                        _pc.not_equal(
+                            _pc.fill_null(j["__b_op"], "D"), _pa.scalar("D")
+                        ),
+                    )
+                    b_live = _pc.fill_null(b_live, False)
+                    r_del = _pc.equal(j[op_col], _pa.scalar("D"))
+                    emit = _pc.and_(
+                        _pc.fill_null(changed, True),
+                        _pc.invert(_pc.and_(r_del, _pc.invert(b_live))),
+                    )
+                    j = j.filter(emit)
+                    if j.num_rows == 0:
+                        continue
+                    # recompute masks on the filtered table (cheaper than
+                    # aligning filtered chunked masks)
+                    lsn_b = j["__b_lsn"]
+                    b_live = _pc.fill_null(
+                        _pc.and_kleene(
+                            _pc.is_valid(lsn_b),
+                            _pc.not_equal(
+                                _pc.fill_null(j["__b_op"], "D"),
+                                _pa.scalar("D"),
+                            ),
+                        ),
+                        False,
+                    )
+                    r_del = _pc.equal(j[op_col], _pa.scalar("D"))
+                    ctype = _pc.if_else(
+                        r_del,
+                        _pa.scalar("delete"),
+                        _pc.if_else(
+                            b_live, _pa.scalar("update"), _pa.scalar("insert")
+                        ),
+                    )
+                    cols = {"change_type": ctype}
+                    for c in key_cols:
+                        cols[c] = j[c]
+                    for c in val_cols:
+                        typ = target.field(c).type
+                        cols[f"{c}_before"] = _pc.if_else(
+                            b_live, j[f"__b_{c}"], _pa.nulls(len(j), typ)
+                        )
+                        cols[f"{c}_after"] = _pc.if_else(
+                            r_del, _pa.nulls(len(j), typ), j[c]
+                        )
+                    cols[lsn_col] = j[lsn_col]
+                    out = _pa.table(
+                        {n: cols[n] for n in out_names}
+                    )
+                    for ob in out.to_batches():
+                        if ob.num_rows:
+                            yield ob
+
+        files_df = spark.createDataFrame(
+            items, "bucket int, range_files array<string>, base_files array<string>"
+        ).repartition(max(len(items), 1), F.col("bucket"))
+        return files_df.mapInArrow(classify, schema=out_schema)
 
     # ---------- compaction ----------
 
