@@ -566,13 +566,10 @@ def q_asof_join_events(spark, sf):
     )
 
 
-def q_changelog_events(spark, sf):
-    """Incremental changelog read (CDC tap): replay `events` into a
-    merge-on-read lake table in two epochs split at mid-LSN, then emit the
-    net per-key changes committed by epoch 1 via
-    MergeOnReadTable.read_changes — insert/update/delete classification
-    with before/after images, folded bucket-locally with zero data
-    shuffle. Deletes are synthesized deterministically (value < 5.0)."""
+def _two_epoch_mor_table(spark, sf):
+    """Replay `events` into a merge-on-read lake table in two epochs split
+    at mid-LSN (shared by the changelog/IVM queries). Deletes are
+    synthesized deterministically (value < 5.0)."""
     import os as _os
     import tempfile
 
@@ -612,11 +609,39 @@ def q_changelog_events(spark, sf):
             epoch, delta, list(range(n_buckets)), lo, hi,
             delta.drop(BUCKET_COL).schema, append=True,
         )
+    return t
+
+
+def q_changelog_events(spark, sf):
+    """Incremental changelog read (CDC tap): emit the net per-key changes
+    committed by epoch 1 via MergeOnReadTable.read_changes —
+    insert/update/delete classification with before/after images, folded
+    bucket-locally with zero data shuffle."""
+    t = _two_epoch_mor_table(spark, sf)
     ch = t.read_changes(spark, from_epoch=0, to_epoch=1)
     return ch.select(
         "change_type", "user_id", "event_type",
         F.round("value_before", 4).alias("value_before"),
         F.round("value_after", 4).alias("value_after"),
+    )
+
+
+def q_ivm_agg_events(spark, sf):
+    """Incremental view maintenance (operators/ivm.py): a per-event_type
+    count/sum view maintained from the epoch-1 changelog — aggregate the
+    epoch-0 snapshot once, fold only read_changes deltas, never rescan.
+    The oracle recomputes the same view directly from final state, so a
+    green row proves incremental == recompute."""
+    from transcript_cdc.operators.ivm import maintained_agg
+
+    t = _two_epoch_mor_table(spark, sf)
+    view = maintained_agg(
+        spark, t,
+        {"event_type": lambda col: col("event_type")},
+        ["value"], from_epoch=0, to_epoch=1,
+    )
+    return view.select(
+        "event_type", "cnt", F.round("sum_value", 3).alias("sum_value")
     )
 
 
@@ -665,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_per_user_events": q_top3_per_user_events,
         "asof_join_events": q_asof_join_events,
         "changelog_events": q_changelog_events,
+        "ivm_agg_events": q_ivm_agg_events,
     }
 
 
@@ -1016,6 +1042,27 @@ def oracle_sql() -> dict[str, str]:
             FROM r LEFT JOIN a USING (user_id, event_type)
             WHERE NOT (r.op = 'D'
                        AND (a.user_id IS NULL OR a.op = 'D'))
+        """,
+        # IVM: the oracle recomputes the maintained view DIRECTLY from the
+        # final LWW state — equality proves the incremental path.
+        "ivm_agg_events": """
+            WITH ev AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN value < 5.0 THEN 'D' ELSE 'U' END AS op,
+                       user_id, event_type, value
+                FROM events
+            ),
+            final AS (
+                SELECT * FROM (
+                    SELECT e.*, row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY lsn DESC) AS rn
+                    FROM ev e)
+                WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT event_type, count(*) AS cnt,
+                   round(sum(value), 3) AS sum_value
+            FROM final GROUP BY event_type
         """,
         # Generated twins (transcript_cdc/oracle_twins.py) — same seeded
         # constants and IEEE-ordered float math as the Spark queries:

@@ -1,0 +1,142 @@
+"""Changelog (read_changes) semantics + incremental view maintenance.
+
+read_changes is the engine's Delta-CDF/Iceberg-changelog equivalent
+(sources/lake.py); ivm.maintained_agg consumes it. The load-bearing
+invariants: net-change classification with before/after images, late LWW
+losers and deletes-of-nothing emit nothing, compaction commits poison a
+range, and the IVM identity
+    merge(agg(state@e0), delta(changes e0→e1)) == agg(state@e1)
+including group-moving updates and groups that empty out.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from transcript_cdc.operators.ivm import (
+    changes_delta,
+    group_agg,
+    maintained_agg,
+    merge_agg_state,
+)
+from transcript_cdc.sources.lake import BUCKET_COL, MergeOnReadTable, bucket_expr
+
+DDL = "conv_id string, turn_idx long, text string, score double, lsn long, op string"
+
+
+def _commit(t, spark, epoch, rows, lo, hi):
+    schema = StructType.fromDDL(DDL)
+    delta = spark.createDataFrame(rows, schema).withColumn(
+        BUCKET_COL, bucket_expr(t.n_buckets, "conv_id")
+    )
+    t.commit_epoch(
+        epoch, delta, list(range(t.n_buckets)), lo, hi, schema, append=True
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = MergeOnReadTable.create(
+        str(tmp_path / "t"), StructType.fromDDL(DDL), n_buckets=2
+    )
+    _commit(
+        t, spark, 0,
+        [
+            ("c1", 0, "a", 1.0, 1, "U"),
+            ("c1", 1, "b", 2.0, 2, "U"),
+            ("c2", 0, "c", 3.0, 3, "U"),
+            ("c3", 0, "d", 4.0, 4, "U"),
+        ],
+        -1, 4,
+    )
+    _commit(
+        t, spark, 1,
+        [
+            ("c1", 0, "a2", 10.0, 10, "U"),  # update, moves score bin 1→10
+            ("c1", 1, None, None, 11, "D"),  # delete (empties bin 2)
+            ("c4", 0, "e", 5.0, 12, "U"),    # insert
+            ("c2", 0, "late", 9.0, 2, "U"),  # late: loses LWW to lsn=3
+            ("c9", 0, None, None, 13, "D"),  # delete of a key never live
+        ],
+        4, 13,
+    )
+    return t
+
+
+def test_changelog_classification_and_images(spark, table):
+    ch = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in table.read_changes(spark, from_epoch=0, to_epoch=1).collect()
+    }
+    # exactly the three net changes — no late loser, no delete-of-nothing
+    assert set(ch) == {("c1", 0), ("c1", 1), ("c4", 0)}
+    up = ch[("c1", 0)]
+    assert up["change_type"] == "update"
+    assert (up["text_before"], up["text_after"]) == ("a", "a2")
+    assert (up["score_before"], up["score_after"]) == (1.0, 10.0)
+    de = ch[("c1", 1)]
+    assert de["change_type"] == "delete"
+    assert de["text_before"] == "b" and de["text_after"] is None
+    ins = ch[("c4", 0)]
+    assert ins["change_type"] == "insert"
+    assert ins["text_before"] is None and ins["text_after"] == "e"
+
+
+def test_changelog_range_with_compaction_raises(spark, table):
+    table.compact(spark)  # epoch 2: rewrite commit
+    with pytest.raises(ValueError, match="rewrite"):
+        table.read_changes(spark, from_epoch=0).collect()
+    # but a post-compaction append range is readable again
+    _commit(table, spark, 3, [("c5", 0, "f", 6.0, 20, "U")], 13, 20)
+    rows = table.read_changes(spark, from_epoch=2, to_epoch=3).collect()
+    assert [r["change_type"] for r in rows] == ["insert"]
+
+
+GROUP_DEFS = {"bin": lambda col: F.floor(col("score")).cast("long")}
+
+
+def _canon(df):
+    return sorted(
+        (r["bin"], r["cnt"], round(r["sum_score"], 9))
+        for r in df.collect()
+    )
+
+
+def test_ivm_matches_recompute(spark, table):
+    inc = maintained_agg(
+        spark, table, GROUP_DEFS, ["score"], from_epoch=0, to_epoch=1
+    )
+    direct = group_agg(
+        table.read_resolved(spark, as_of_epoch=1), GROUP_DEFS, ["score"]
+    )
+    got = _canon(inc)
+    assert got == _canon(direct)
+    bins = {b for b, _, _ in got}
+    assert 2 not in bins  # the only bin-2 row was deleted → group removed
+    assert 10 in bins and 1 not in bins  # update moved the row's group
+
+
+def test_ivm_delta_signs(spark, table):
+    ch = table.read_changes(spark, from_epoch=0, to_epoch=1)
+    d = {
+        r["bin"]: (r["d_cnt"], r["d_sum_score"])
+        for r in changes_delta(
+            ch, GROUP_DEFS, ["score"], key_cols=table.key_cols
+        ).collect()
+    }
+    assert d[1] == (-1, -1.0)   # update debits the old group...
+    assert d[10] == (1, 10.0)   # ...and credits the new one
+    assert d[2] == (-1, -2.0)   # delete debits
+    assert d[5] == (1, 5.0)     # insert credits
+
+
+def test_ivm_empty_changelog_is_identity(spark, table):
+    state = group_agg(
+        table.read_resolved(spark, as_of_epoch=1), GROUP_DEFS, ["score"]
+    )
+    empty = table.read_changes(spark, from_epoch=1, to_epoch=1)
+    delta = changes_delta(empty, GROUP_DEFS, ["score"], key_cols=table.key_cols)
+    merged = merge_agg_state(state, delta, ["bin"], ["score"])
+    assert _canon(merged) == _canon(state)
