@@ -132,6 +132,51 @@ def test_ivm_delta_signs(spark, table):
     assert d[5] == (1, 5.0)     # insert credits
 
 
+def test_changelog_across_schema_evolution(spark, table):
+    """An epoch that ADDS a column (additive evolution) still classifies
+    cleanly: old before-images carry null for the new column; the new
+    column's images flow through like any value column."""
+    ddl2 = DDL + ", tool string"
+    schema2 = StructType.fromDDL(ddl2)
+    delta = spark.createDataFrame(
+        [
+            ("c1", 0, "a3", 20.0, 30, "U", "search"),  # update of updated row
+            ("c6", 0, "g", 7.0, 31, "U", None),        # insert, tool null
+        ],
+        schema2,
+    ).withColumn(BUCKET_COL, bucket_expr(table.n_buckets, "conv_id"))
+    table.commit_epoch(
+        2, delta, list(range(table.n_buckets)), 13, 31, schema2, append=True
+    )
+    ch = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in table.read_changes(spark, from_epoch=1, to_epoch=2).collect()
+    }
+    assert set(ch) == {("c1", 0), ("c6", 0)}
+    up = ch[("c1", 0)]
+    assert up["change_type"] == "update"
+    assert (up["text_before"], up["text_after"]) == ("a2", "a3")
+    assert up["tool_before"] is None and up["tool_after"] == "search"
+    assert ch[("c6", 0)]["change_type"] == "insert"
+
+
+def test_changelog_tail_polls_new_epochs_and_skips_compaction(spark, table):
+    from transcript_cdc.streaming.changelog_tail import ChangelogTail
+
+    tail = ChangelogTail(spark, table, from_epoch=0)
+    first = tail.poll()
+    assert [e for e, _ in first] == [1]
+    assert first[0][1].count() == 3  # the epoch-1 net changes
+    assert tail.poll() == []  # nothing new → empty, cursor stays
+
+    table.compact(spark)  # epoch 2: rewrite — must be skipped, not raise
+    _commit(table, spark, 3, [("c5", 0, "f", 6.0, 20, "U")], 13, 20)
+    nxt = tail.poll()
+    assert [e for e, _ in nxt] == [3]
+    assert [r["change_type"] for r in nxt[0][1].collect()] == ["insert"]
+    assert tail.cursor == 3
+
+
 def test_ivm_empty_changelog_is_identity(spark, table):
     state = group_agg(
         table.read_resolved(spark, as_of_epoch=1), GROUP_DEFS, ["score"]

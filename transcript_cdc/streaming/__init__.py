@@ -1,3 +1,4 @@
+from transcript_cdc.streaming.changelog_tail import ChangelogTail
 from transcript_cdc.streaming.stateful import conversation_stats_stream
 from transcript_cdc.streaming.stream_ingest import (
     DrainRequested,
@@ -7,6 +8,7 @@ from transcript_cdc.streaming.stream_ingest import (
 )
 
 __all__ = [
+    "ChangelogTail",
     "DrainRequested",
     "StreamConfig",
     "StreamingIngest",
