@@ -52,7 +52,7 @@ from transcript_cdc import schemas
 BUCKET_COL = "__bucket"
 
 
-def _arrow_lww_fold(files, target, key_cols, lsn_col):
+def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None):
     """Pure-Arrow last-writer-wins fold of a delta-file chain (worker-side).
 
     Reads each file, null-pads columns the older files lack (additive
@@ -61,14 +61,37 @@ def _arrow_lww_fold(files, target, key_cols, lsn_col):
     via an adjacent-inequality boundary mask. Tombstones are KEPT — the
     caller decides (resolved read drops them; the changelog classifies
     them). Returns a pyarrow.Table with the ``target`` schema.
+
+    ``key_filter``: optional {key_col: pyarrow array of wanted values} —
+    restricts the fold to those keys (sound for LWW: a key's winner
+    depends only on that key's rows). The first key column's set is pushed
+    into the parquet read as a row-group predicate, so key-sorted files
+    (compacted bases are written key-sorted by this very fold) skip
+    untouched row groups' IO entirely — the changelog's base-side gate.
     """
     import pyarrow as _pa
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
+    read_kw = {}
+    if key_filter:
+        first = next(iter(key_filter))
+        try:
+            import pyarrow.dataset as _ds
+
+            read_kw["filters"] = _ds.field(first).isin(key_filter[first])
+        except Exception:  # pragma: no cover — older pyarrow: in-memory only
+            pass
+
     tabs = []
     for f in files:
-        t = _pq.read_table(f)
+        t = _pq.read_table(f, **read_kw)
+        if key_filter:
+            mask = None
+            for c, vals in key_filter.items():
+                m = _pc.is_in(t[c], value_set=vals)
+                mask = m if mask is None else _pc.and_(mask, m)
+            t = t.filter(mask)
         arrays = []
         for fld in target:
             if t.schema.get_field_index(fld.name) >= 0:
@@ -737,10 +760,13 @@ class MergeOnReadTable(ParquetSnapshotTable):
 
         Scale shape: the epoch range's ADDED delta files are known from the
         manifests — per bucket, one task LWW-folds the range deltas, folds
-        the base snapshot restricted to that bucket, and classifies via an
-        Arrow hash join. Zero data shuffle (same contract as
-        read_resolved); cost is O(|range deltas| + |base of touched
-        buckets|), never O(table) for an epoch range touching few buckets.
+        the base snapshot restricted to that bucket AND key-gated to the
+        keys the range touched (with the key set pushed into the parquet
+        read as a row-group predicate — compacted base files are written
+        key-sorted, so untouched row groups skip IO), and classifies via
+        an Arrow hash join. Zero data shuffle (same contract as
+        read_resolved); cost is O(|range deltas| + |base rows of touched
+        keys|), never O(table) for an epoch range touching few keys.
 
         Raises if the range contains a non-append (compaction) commit —
         a rewrite's file diff is reorganization, not logical change; read
@@ -813,7 +839,12 @@ class MergeOnReadTable(ParquetSnapshotTable):
                     r = _arrow_lww_fold(rfiles, target, key_cols, lsn_col)
                     if r.num_rows == 0:
                         continue
-                    b = _arrow_lww_fold(bfiles, target, key_cols, lsn_col)
+                    # base side gated to keys the range actually touched:
+                    # fold cost tracks |changed keys|, not |bucket base|
+                    kf = {c: _pc.unique(r[c]) for c in key_cols}
+                    b = _arrow_lww_fold(
+                        bfiles, target, key_cols, lsn_col, key_filter=kf
+                    )
                     b = b.select([*key_cols, *val_cols, lsn_col, op_col])
                     b = b.rename_columns(
                         [
