@@ -566,17 +566,25 @@ def q_asof_join_events(spark, sf):
     )
 
 
+_MOR_TABLE_CACHE: dict = {}
+
+
 def _two_epoch_mor_table(spark, sf):
     """Replay `events` into a merge-on-read lake table in two epochs split
-    at mid-LSN (shared by the changelog/IVM queries). Deletes are
-    synthesized deterministically (value < 5.0)."""
+    at mid-LSN (shared by the changelog/IVM queries — built once per sf
+    and cached; cleaned up at interpreter exit). Deletes are synthesized
+    deterministically (value < 5.0)."""
+    import atexit
     import os as _os
+    import shutil
     import tempfile
 
     from pyspark.sql.types import StructType
 
     from transcript_cdc.sources.lake import BUCKET_COL, MergeOnReadTable, bucket_expr
 
+    if sf in _MOR_TABLE_CACHE:
+        return _MOR_TABLE_CACHE[sf]
     ev = _t(spark, sf, "events").select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("value") < 5.0, "D").otherwise("U").alias("op"),
@@ -587,6 +595,7 @@ def _two_epoch_mor_table(spark, sf):
     # The returned DataFrame reads this table lazily (the caller collects
     # after we return), so the temp dir must outlive this function.
     root = tempfile.mkdtemp(prefix="changelog_q_", dir=shm)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     n_buckets = 8
     t = MergeOnReadTable.create(
         root,
@@ -609,6 +618,7 @@ def _two_epoch_mor_table(spark, sf):
             epoch, delta, list(range(n_buckets)), lo, hi,
             delta.drop(BUCKET_COL).schema, append=True,
         )
+    _MOR_TABLE_CACHE[sf] = t
     return t
 
 

@@ -187,6 +187,7 @@ def main() -> None:
             "lexical_topk_documents",
             "hybrid_search_documents",
             "minhash_near_dup_documents",
+            "asof_join_events",
         ]
         qmap = entrymod.queries()
         for name in headline:
