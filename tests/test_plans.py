@@ -149,3 +149,16 @@ def test_local_fold_respects_bucket_pruning_and_time_travel(spark, mor_job):
     n_first = t.read_resolved(spark, as_of_epoch=epochs[0]).count()
     n_last = t.read_resolved(spark, as_of_epoch=epochs[-1]).count()
     assert 0 < n_first <= n_last
+
+
+def test_changelog_read_has_no_data_exchange(spark, mor_job):
+    """read_changes shares the resolved read's contract: classification
+    happens inside per-bucket Arrow tasks; the only exchange moves the
+    ≤n_buckets (bucket, range_files, base_files) control rows."""
+    t = mor_job.table
+    epochs = t.committed_epochs()
+    df = t.read_changes(spark, from_epoch=epochs[0], to_epoch=epochs[-1])
+    p = plan_of(df)
+    assert "FileScan parquet" not in p
+    assert p.count("Exchange") == 1
+    assert "MapInArrow" in p or "PythonMapInArrow" in p
