@@ -240,3 +240,54 @@ def test_epoch_from_other_checkpoint_refuses_to_skip(spark, feed, tmp_path):
     ib = StreamingIngest(spark, feed["dir"], table, ckpt_b, StreamConfig(n_buckets=4))
     with pytest.raises(RuntimeError, match="different writer"):
         ib.apply_batch(batch_df, 0)
+
+
+@pytest.mark.parametrize("storage", ["cow", "mor"])
+def test_rollback_restores_snapshot_and_replay_converges(spark, feed, tmp_path, storage):
+    """Point-in-time recovery: rollback drops the newer commits and their
+    files, restores exactly the as-of state, and a plain run() re-plays the
+    discarded WAL range back to the same oracle-equal final state."""
+    root = str(tmp_path / f"rb_{storage}")
+    cfg = IngestConfig(n_buckets=4, epoch_events=150, storage=storage)
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job.run()
+    t = job.table
+    epochs = t.committed_epochs()
+    assert len(epochs) >= 3
+    k = epochs[1]
+    want = _sorted_state(job.final_state(as_of_epoch=k))
+    files_before = _data_files(root)
+
+    res = t.rollback(k)
+    assert res["epochs_dropped"] == [e for e in epochs if e > k]
+    assert t.committed_epochs() == epochs[: epochs.index(k) + 1]
+    # restored head state == the old as-of snapshot; newer files GC'd
+    got = _sorted_state(CdcIngestJob(spark, feed["dir"], root, cfg).final_state())
+    assert got["text"].tolist() == want["text"].tolist()
+    assert len(got) == len(want)
+    assert _data_files(root) < files_before
+
+    # replay the discarded range: same final state as the oracle
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job2.run()
+    final = _sorted_state(job2.final_state())
+    orc = feed["oracle"]
+    assert final["text"].tolist() == orc["text"].tolist()
+    assert final["conv_id"].tolist() == orc["conv_id"].tolist()
+
+    with pytest.raises(ValueError, match="not a committed"):
+        t.rollback(10_000)
+
+
+def test_rollback_refuses_expired_horizon(spark, feed, tmp_path):
+    root = str(tmp_path / "rb_exp")
+    job = CdcIngestJob(
+        spark, feed["dir"], root,
+        IngestConfig(n_buckets=4, epoch_events=150, storage="mor"),
+    )
+    job.run()
+    t = job.table
+    epochs = t.committed_epochs()
+    t.expire(keep_from_epoch=epochs[-1])
+    with pytest.raises(ValueError, match="expired"):
+        t.rollback(epochs[0])

@@ -447,7 +447,7 @@ class CdcIngestJob:
 
     # ---------- reads ----------
 
-    def final_state(self) -> DataFrame:
+    def final_state(self, as_of_epoch: int | None = None) -> DataFrame:
         if self.cfg.storage == "mor":
-            return self.table.read_resolved(self.spark)
-        return self.table.read_snapshot(self.spark)
+            return self.table.read_resolved(self.spark, as_of_epoch=as_of_epoch)
+        return self.table.read_snapshot(self.spark, as_of_epoch=as_of_epoch)

@@ -587,6 +587,53 @@ class ParquetSnapshotTable:
                 os.rmdir(dirpath)
         return {"removed_files": removed, "kept_epochs": kept}
 
+    def rollback(self, to_epoch: int) -> dict:
+        """Point-in-time recovery (Iceberg ``rollback_to_snapshot``):
+        discard every commit after ``to_epoch`` and GC the files only
+        those commits referenced.
+
+        Manifests are unlinked newest-first, so a crash mid-rollback
+        leaves a valid (merely longer) chain — the commit point stays the
+        manifest ledger, same as writes. After rollback, ``resume_point``
+        reads the restored manifest's ``lsn_hi``, so the next ``run()``
+        simply re-plays the discarded WAL range (T3 backfill path) —
+        possibly with fixed code, which is the operational point: bad
+        deploy → rollback → replay.
+
+        Refuses to roll back past ``expire()``'s horizon (those snapshots'
+        files are gone).
+        """
+        epochs = self.committed_epochs()
+        if to_epoch not in epochs:
+            raise ValueError(f"epoch {to_epoch} is not a committed snapshot")
+        horizon = int(self.meta.get("expired_before", epochs[0]))
+        if to_epoch < horizon:
+            raise ValueError(
+                f"cannot roll back to {to_epoch}: snapshots before "
+                f"{horizon} were expired"
+            )
+        dropped = sorted((e for e in epochs if e > to_epoch), reverse=True)
+        for e in dropped:
+            os.unlink(self._manifest_path(e))
+
+        referenced: set[str] = set()
+        for e in epochs:
+            if horizon <= e <= to_epoch:
+                state, _ = self._current_state(as_of_epoch=e)
+                for files in state.values():
+                    referenced.update(files)
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.unlink(full)
+                    removed += 1
+            if dirpath != self.data_dir and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        return {"epochs_dropped": dropped[::-1], "removed_files": removed}
+
 
 class MergeOnReadTable(ParquetSnapshotTable):
     """Iceberg-v2-style merge-on-read variant of the lake table.
