@@ -291,3 +291,137 @@ def test_rollback_refuses_expired_horizon(spark, feed, tmp_path):
     t.expire(keep_from_epoch=epochs[-1])
     with pytest.raises(ValueError, match="expired"):
         t.rollback(epochs[0])
+
+
+def test_concurrent_same_epoch_commit_single_winner(spark, tmp_path):
+    """Optimistic concurrency at the commit point: two writers racing the
+    same epoch (entry guard bypassed to simulate the TOCTOU window) end
+    with exactly ONE winning manifest, and the loser's attempt files never
+    shadow the winner's — manifests are created with link(2)-if-absent and
+    every attempt writes a unique data dir."""
+    from unittest import mock
+
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc.sources.lake import BUCKET_COL, MergeOnReadTable, bucket_expr
+
+    ddl = "conv_id string, turn_idx long, text string, lsn long, op string"
+    t = MergeOnReadTable.create(
+        str(tmp_path / "race"), StructType.fromDDL(ddl), n_buckets=2
+    )
+
+    def delta(txt):
+        return spark.createDataFrame(
+            [("c1", 0, txt, 1, "U")], StructType.fromDDL(ddl)
+        ).withColumn(BUCKET_COL, bucket_expr(2, "conv_id"))
+
+    with mock.patch.object(type(t), "is_committed", return_value=False):
+        assert t.commit_epoch(
+            0, delta("winner"), [0, 1], -1, 1,
+            StructType.fromDDL(ddl), append=True,
+        )
+        assert not t.commit_epoch(  # raced loser: CAS create fails
+            0, delta("loser"), [0, 1], -1, 1,
+            StructType.fromDDL(ddl), append=True,
+        )
+    rows = t.read_resolved(spark).collect()
+    assert [r["text"] for r in rows] == ["winner"]
+    # every file the winning manifest references still exists
+    m = t.read_manifest(0)
+    for files in m["buckets"].values():
+        for f in files:
+            assert os.path.exists(os.path.join(t.root, f))
+
+
+@pytest.mark.parametrize("storage", ["cow", "mor"])
+def test_rebucket_partition_evolution(spark, feed, tmp_path, storage):
+    """rebucket() rewrites the table into a new bucket layout in one
+    replace_all commit: state is preserved row-for-row, subsequent reads
+    (incl. bucket-pruned point reads) and ingest use the new bucket
+    function, and pre-rebucket snapshots are expired (time travel and
+    rollback across the boundary refuse)."""
+    root = str(tmp_path / f"rbk_{storage}")
+    cfg = IngestConfig(n_buckets=3, epoch_events=150, storage=storage)
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    job.run()
+    t = job.table
+    before = _sorted_state(job.final_state())
+    pre_epochs = t.committed_epochs()
+
+    res = t.rebucket(spark, 8)
+    assert res["committed"] and t.n_buckets == 8
+    assert t.read_manifest(res["epoch"])["replace_all"]
+    # fresh handle (no cached meta): same layout + identical state
+    t2 = type(t)(root)
+    assert t2.n_buckets == 8
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    after = _sorted_state(job2.final_state())
+    assert after["text"].tolist() == before["text"].tolist()
+    assert after["conv_id"].tolist() == before["conv_id"].tolist()
+    # bucket-pruned point read under the new hash
+    conv = before["conv_id"].iloc[0]
+    got = job2.table.read_conversation(spark, conv)
+    assert got.count() == int((before["conv_id"] == conv).sum())
+    # old-layout snapshots are gone: time travel + rollback refuse
+    with pytest.raises(ValueError, match="expire"):
+        t2.read_snapshot(spark, as_of_epoch=pre_epochs[0]).count()
+    with pytest.raises(ValueError, match="expired"):
+        t2.rollback(pre_epochs[0])
+    # layout is manifest-decided: every data file lives under the
+    # rebucket epoch's manifest with bucket ids 0..7
+    state, _ = t2._current_state()
+    assert set(state) <= {str(i) for i in range(8)}
+
+
+def test_rebucket_crash_window_is_manifest_decided(spark, feed, tmp_path):
+    """If a re-bucket dies between manifest commit and metadata finalize,
+    the committed manifest decides the layout; if it dies BEFORE the
+    commit, the stale pending marker must not flip the layout when a
+    normal epoch later claims that id."""
+    import json as _json
+
+    root = str(tmp_path / "rbk_crash")
+    job = CdcIngestJob(
+        spark, feed["dir"], root,
+        IngestConfig(n_buckets=3, epoch_events=150, storage="mor"),
+    )
+    job.run()
+    t = job.table
+    last = t.committed_epochs()[-1]
+
+    # marker pointing at an UNcommitted epoch: layout unchanged
+    meta_path = os.path.join(t.commits_dir, "table.json")
+    meta = dict(t.meta)
+    meta["pending_rebucket"] = {"epoch": last + 1, "n_buckets": 11}
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    t._meta = None
+    assert t.n_buckets == 3
+    # a NORMAL commit claiming that epoch id retires the stale marker
+    from pyspark.sql import functions as F
+
+    from transcript_cdc.sources.lake import BUCKET_COL, bucket_expr
+
+    delta = (
+        t.read_resolved(spark, with_version_cols=True).limit(1)
+        .withColumn("lsn", F.col("lsn") + 1_000_000)
+        .withColumn(BUCKET_COL, bucket_expr(3, "conv_id"))
+    )
+    assert t.commit_epoch(
+        last + 1, delta, [0, 1, 2], 0, 1, t.current_schema(), append=True
+    )
+    t._meta = None
+    assert "pending_rebucket" not in t.meta and t.n_buckets == 3
+
+    # marker + committed replace_all manifest, metadata never finalized:
+    # the manifest decides (n_buckets flips on a fresh handle)
+    t.rebucket(spark, 6)
+    meta = dict(t.meta)
+    meta["n_buckets"] = 3  # simulate dying before finalize
+    meta["pending_rebucket"] = {
+        "epoch": t.committed_epochs()[-1], "n_buckets": 6,
+    }
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    t2 = type(t)(root)
+    assert t2.n_buckets == 6

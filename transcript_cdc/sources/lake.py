@@ -192,6 +192,13 @@ class ParquetSnapshotTable:
 
     @property
     def n_buckets(self) -> int:
+        # Crash-consistent layout read: a re-bucket first writes a pending
+        # marker, then commits the rewrite manifest, then finalizes the
+        # metadata — if we died between the last two steps, the committed
+        # manifest (the commit point) decides the layout.
+        p = self.meta.get("pending_rebucket")
+        if p and self.is_committed(int(p["epoch"])):
+            return int(p["n_buckets"])
         return int(self.meta["n_buckets"])
 
     @property
@@ -241,7 +248,11 @@ class ParquetSnapshotTable:
             if as_of_epoch is not None and epoch > as_of_epoch:
                 break
             m = self.read_manifest(epoch)
-            if m.get("append"):
+            if m.get("replace_all"):
+                # re-bucket rewrite: the whole table moves to a new bucket
+                # id space — nothing from the old layout carries forward
+                buckets = dict(m["buckets"])
+            elif m.get("append"):
                 for b, files in m["buckets"].items():
                     buckets[b] = buckets.get(b, []) + files
             else:
@@ -408,6 +419,7 @@ class ParquetSnapshotTable:
         append: bool = False,
         kept_files: dict[str, list[str]] | None = None,
         observation=None,
+        replace_all: bool = False,
     ) -> bool:
         """Write the new state of the touched buckets and commit atomically.
 
@@ -437,11 +449,16 @@ class ParquetSnapshotTable:
         if self.is_committed(epoch):
             return False
 
-        epoch_dir = os.path.join(self.data_dir, f"epoch={epoch:010d}")
-        # A crashed prior attempt may have left orphan files; they were never
-        # visible (no manifest) — remove and rewrite deterministically.
-        if os.path.exists(epoch_dir):
-            shutil.rmtree(epoch_dir)
+        # Unique attempt dir: concurrent or crashed attempts never share
+        # paths, so a racing committer cannot clobber the files the winning
+        # manifest references — the CAS manifest create below is the only
+        # commit point, and it points at THIS attempt's files. Orphaned
+        # attempt dirs (crash, or CAS loser) are invisible to every reader
+        # (manifest-driven) and reclaimed by expire().
+        os.makedirs(self.data_dir, exist_ok=True)
+        epoch_dir = tempfile.mkdtemp(
+            prefix=f"epoch={epoch:010d}-", dir=self.data_dir
+        )
 
         t0 = time.time()
         (
@@ -526,9 +543,21 @@ class ParquetSnapshotTable:
                 if n:
                     bucket_counts[b2] = n
 
+        # A crashed re-bucket may have left a pending marker for this epoch
+        # id; a NORMAL commit claiming that id must retire the marker first,
+        # or the marker would falsely activate the new layout (n_buckets
+        # treats "pending epoch committed" as the flip signal).
+        stale = self.meta.get("pending_rebucket")
+        if stale is not None and int(stale["epoch"]) == epoch and not replace_all:
+            meta = dict(self.meta)
+            meta.pop("pending_rebucket", None)
+            _atomic_write_json(os.path.join(self.commits_dir, "table.json"), meta)
+            self._meta = meta
+
         manifest = {
             "epoch": epoch,
             "append": bool(append),
+            "replace_all": bool(replace_all),
             "file_stats": file_stats,
             "lsn_lo": lsn_lo,
             "lsn_hi": lsn_hi,
@@ -542,7 +571,15 @@ class ParquetSnapshotTable:
             },
             "committed_at": time.time(),
         }
-        _atomic_write_json(self._manifest_path(epoch), manifest)
+        try:
+            _atomic_create_json(self._manifest_path(epoch), manifest)
+        except FileExistsError:
+            # A racing writer committed this epoch between our entry guard
+            # and the swap — optimistic concurrency: exactly one manifest
+            # wins; the loser discards its attempt files and reports
+            # "already committed", same contract as the sequential guard.
+            shutil.rmtree(epoch_dir, ignore_errors=True)
+            return False
         return True
 
     # ---------- maintenance ----------
@@ -633,6 +670,83 @@ class ParquetSnapshotTable:
             if dirpath != self.data_dir and not os.listdir(dirpath):
                 os.rmdir(dirpath)
         return {"epochs_dropped": dropped[::-1], "removed_files": removed}
+
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_n_buckets: int,
+        write_partitions: int | None = None,
+    ) -> dict:
+        """Partition evolution: rewrite the table into a new bucket-count
+        layout (Iceberg ``REPLACE PARTITION FIELD`` + rewrite).
+
+        Growing the cluster 4× without re-bucketing caps write parallelism
+        at the old bucket count; this makes the layout change an explicit,
+        one-shot, manifest-audited O(table) rewrite — after it, every read,
+        ingest epoch and compaction uses the new bucket function (the
+        ingest loop reads ``table.n_buckets``, not its config).
+
+        Crash-consistent three-step flip: (1) write a ``pending_rebucket``
+        marker, (2) commit the ``replace_all`` rewrite manifest — the
+        commit point: ``n_buckets`` flips the moment that manifest exists —
+        (3) finalize metadata and expire pre-rebucket snapshots (their
+        bucket-pruning metadata is meaningless under the new hash, and
+        expiry is what makes rolling back across the boundary refuse).
+        """
+        new_n = int(new_n_buckets)
+        last = self.last_committed()
+        if last is None:
+            meta = dict(self.meta)
+            meta["n_buckets"] = new_n
+            _atomic_write_json(
+                os.path.join(self.commits_dir, "table.json"), meta
+            )
+            self._meta = meta
+            return {"epoch": None, "n_buckets": new_n}
+
+        if self.meta.get("storage") == "mor":
+            df = self._read_resolved_local(
+                spark, with_version_cols=True, drop_tombstones=True
+            )
+        else:
+            df = self.read_snapshot(spark)
+        df = df.withColumn(
+            BUCKET_COL, bucket_expr(new_n, self.meta["bucket_by"])
+        )
+        if write_partitions:
+            df = df.repartition(write_partitions, F.col(BUCKET_COL))
+
+        epoch = int(last["epoch"]) + 1
+        meta = dict(self.meta)
+        meta["pending_rebucket"] = {"epoch": epoch, "n_buckets": new_n}
+        _atomic_write_json(os.path.join(self.commits_dir, "table.json"), meta)
+        self._meta = meta
+
+        committed = self.commit_epoch(
+            epoch,
+            df,
+            list(range(new_n)),
+            int(last["lsn_hi"]),
+            int(last["lsn_hi"]),
+            self.current_schema(),
+            {
+                "mode": "rebucket",
+                "from_n_buckets": int(meta["n_buckets"]),
+                "to_n_buckets": new_n,
+            },
+            append=False,
+            replace_all=True,
+        )
+        if committed:
+            meta = dict(self.meta)
+            meta["n_buckets"] = new_n
+            meta.pop("pending_rebucket", None)
+            _atomic_write_json(
+                os.path.join(self.commits_dir, "table.json"), meta
+            )
+            self._meta = meta
+            self.expire(keep_from_epoch=epoch)
+        return {"epoch": epoch, "committed": committed, "n_buckets": new_n}
 
 
 class MergeOnReadTable(ParquetSnapshotTable):
@@ -1070,13 +1184,31 @@ def _parquet_key_stats(path: str, key_col: str) -> dict:
 
 def _atomic_write_json(path: str, obj: dict) -> None:
     """Temp-file + rename: the commit point is the rename (POSIX-atomic).
-    On S3 this would be a conditional PUT / Iceberg catalog swap."""
+    Overwrites — used for table metadata updates (expire markers etc.)."""
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
             json.dump(obj, f, indent=1)
         os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _atomic_create_json(path: str, obj: dict) -> None:
+    """Create-if-absent commit: hard-link the temp file into place.
+    link(2) fails with EEXIST when the target exists, so of two racers
+    committing the same epoch exactly ONE manifest wins — the engine's
+    optimistic-concurrency commit point (Iceberg's catalog CAS swap; on S3
+    a conditional `If-None-Match: *` PUT). Raises FileExistsError for the
+    loser."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.link(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
