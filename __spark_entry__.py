@@ -655,6 +655,55 @@ def q_ivm_agg_events(spark, sf):
     )
 
 
+def q_rebucket_events(spark, sf):
+    """Partition evolution end-to-end (sources/lake.py rebucket): replay
+    `events` into a 4-bucket MOR table, rebucket to 16, and emit the
+    resolved state read under the NEW layout. The oracle computes the
+    final LWW state directly — a green row proves the replace_all rewrite
+    preserved every row byte-for-byte. Builds its own table (the shared
+    cached one must keep its epochs for the changelog/IVM queries)."""
+    import os as _os
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc.sources.lake import BUCKET_COL, MergeOnReadTable, bucket_expr
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("value") < 5.0, "D").otherwise("U").alias("op"),
+        "user_id", "event_type", "value",
+    )
+    import atexit
+    import shutil
+
+    shm = "/dev/shm" if _os.access("/dev/shm", _os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="rebucket_q_", dir=shm)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = MergeOnReadTable.create(
+        root,
+        StructType.fromDDL(
+            "user_id long, event_type string, value double, lsn long, op string"
+        ),
+        n_buckets=4,
+        key_cols=("user_id", "event_type"),
+        bucket_by="user_id",
+    )
+    hi = int(ev.agg(F.max("lsn")).first()[0])
+    delta = lww_dedup(ev, ["user_id", "event_type"], "lsn").withColumn(
+        BUCKET_COL, bucket_expr(4, "user_id")
+    )
+    t.commit_epoch(
+        0, delta, list(range(4)), -1, hi,
+        delta.drop(BUCKET_COL).schema, append=True,
+    )
+    res = t.rebucket(spark, 16)
+    assert res["committed"] and t.n_buckets == 16
+    return t.read_resolved(spark).select(
+        "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_dedup_events": q_lww_dedup_events,
@@ -701,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "changelog_events": q_changelog_events,
         "ivm_agg_events": q_ivm_agg_events,
+        "rebucket_events": q_rebucket_events,
     }
 
 
@@ -1073,6 +1123,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS cnt,
                    round(sum(value), 3) AS sum_value
             FROM final GROUP BY event_type
+        """,
+        # rebucket preserves state exactly: oracle is the plain final
+        # LWW state, independent of any bucket layout.
+        "rebucket_events": """
+            SELECT user_id, event_type, round(value, 4) AS value FROM (
+                SELECT e.*, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY event_id DESC) AS rn
+                FROM (SELECT event_id,
+                             CASE WHEN value < 5.0 THEN 'D' ELSE 'U' END AS op,
+                             user_id, event_type, value
+                      FROM events) e)
+            WHERE rn = 1 AND op <> 'D'
         """,
         # Generated twins (transcript_cdc/oracle_twins.py) — same seeded
         # constants and IEEE-ordered float math as the Spark queries:
