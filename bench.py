@@ -44,7 +44,12 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
     equality pass (used by bench/scaling.py trials, where equality is
     already evidenced by the headline bench and the test suite).
     """
-    from transcript_cdc.datagen import StreamSpec, generate_events, replay_oracle, write_change_feed
+    from transcript_cdc.datagen import (
+        StreamSpec,
+        generate_events,
+        replay_oracle_fast,
+        write_change_feed,
+    )
     from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
 
     # Feed + table live on fast scratch: the sandbox root disk writes at
@@ -82,7 +87,10 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
         gen_s = time.time() - t_gen
 
         t_orc = time.time()
-        orc = None if skip_eq else replay_oracle(generate_events(spec), normalize=True)
+        # replay_oracle_fast ≡ the naive dict replay (frame-equality pinned
+        # in tests/test_datagen_fast.py); the dict replay at this scale cost
+        # ~42s of bench wall for zero extra evidence.
+        orc = None if skip_eq else replay_oracle_fast(generate_events(spec), normalize=True)
         orc_s = time.time() - t_orc
 
         shuffle_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

@@ -100,11 +100,17 @@ def test_bucket_pruned_point_read_has_no_exchange(spark, cow_job):
     p = plan_of(df)
     assert "Exchange" not in p  # pure scan+filter of one bucket's files
     assert "PushedFilters" in p and "EqualTo(conv_id," in p
-    # file-level pruning: only the target bucket's manifested files are read
+    # layered pruning: the scan reads exactly the manifest-pruned file set
+    # (files_for_key: bucket routing + per-file min/max key stats), which
+    # is contained in the target bucket's manifested files
     state, _ = cow_job.table._current_state()
     b = cow_job.table.bucket_of(spark, conv)
     n_inputs = {p.replace("file://", "").replace("file:", "") for p in df.inputFiles()}
     assert n_inputs == {
+        os.path.join(cow_job.table.root, f)
+        for f in cow_job.table.files_for_key(conv, b)
+    }
+    assert n_inputs <= {
         os.path.join(cow_job.table.root, f) for f in state[str(b)]
     }
 

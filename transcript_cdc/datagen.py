@@ -22,9 +22,11 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_ROLES = np.array(["user", "assistant", "system", "tool"])
-_TOOLS = np.array(["search", "python", "browser", "calculator", "none"])
-_MODELS = np.array(["m-alpha", "m-beta", "m-gamma"])
+# object dtype: fancy-indexing these pools then yields object arrays
+# directly, skipping the U-dtype → object astype pandas would do later
+_ROLES = np.array(["user", "assistant", "system", "tool"], dtype=object)
+_TOOLS = np.array(["search", "python", "browser", "calculator", "none"], dtype=object)
+_MODELS = np.array(["m-alpha", "m-beta", "m-gamma"], dtype=object)
 
 # Messy-whitespace / unicode fragments injected into text so the Arrow
 # normalizer (functions/normalize.py) has real work to do. Includes NFD
@@ -72,8 +74,10 @@ def generate_events(spec: StreamSpec) -> pd.DataFrame:
         rng.geometric(1.0 / spec.avg_turns, size=n_conv), 1, spec.max_turns
     )
     conv_of_insert = np.repeat(np.arange(n_conv), turns)
-    turn_of_insert = np.concatenate([np.arange(t) for t in turns])
+    # ragged arange without a per-conversation Python loop:
+    # arange(n_ins) minus each conversation's start offset
     n_ins = conv_of_insert.size
+    turn_of_insert = np.arange(n_ins) - np.repeat(np.cumsum(turns) - turns, turns)
 
     w = _zipf_weights(n_conv, spec.zipf_s)
     n_upd = int(n_ins * spec.update_ratio)
@@ -111,42 +115,68 @@ def generate_events(spec: StreamSpec) -> pd.DataFrame:
     conv, turn, op = conv[order], turn[order], op[order]
     lsn = np.arange(n, dtype=np.int64)
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv.astype("U8"), 8))
+    # String assembly runs in Arrow C++ kernels (binary_join_element_wise is
+    # one fused pass) — np.char / object-array concat was the generator's
+    # hot spot at bench scale. Output is byte-identical to the original
+    # np.char implementation (hash-pinned in tests/test_datagen_fast.py).
+    import pyarrow.compute as pc
+
+    conv_id_arr = pc.binary_join_element_wise(
+        "conv-",
+        pc.utf8_lpad(pc.cast(pa.array(conv), pa.string()), width=8, padding="0"),
+        "",
+    )
+    conv_id = conv_id_arr.to_numpy(zero_copy_only=False)
     role = _ROLES[(conv * 7 + turn) % len(_ROLES)]
     tool_raw = _TOOLS[(conv * 3 + turn * 5) % len(_TOOLS)]
     tool = np.where(tool_raw == "none", None, tool_raw)
 
-    mess_a = _MESS[lsn % len(_MESS)]
-    mess_b = _MESS[(lsn * 7 + 3) % len(_MESS)]
-    body = np.char.add(
-        np.char.add("turn ", turn.astype("U8")),
-        np.char.add(" of ", conv_id),
+    mess_a = pa.array(_MESS[lsn % len(_MESS)])
+    mess_b = pa.array(_MESS[(lsn * 7 + 3) % len(_MESS)])
+    text_arr = pc.binary_join_element_wise(
+        mess_a,
+        "turn ",
+        pc.cast(pa.array(turn), pa.string()),
+        " of ",
+        conv_id_arr,
+        mess_b,
+        " rev",
+        pc.cast(pa.array(lsn), pa.string()),
+        mess_a,
+        "",
     )
-    rev = np.char.add(" rev", lsn.astype("U12"))
-    text = mess_a + body.astype(object) + mess_b + rev.astype(object) + mess_a
-    text = np.where(op == "D", None, text)
+    text_arr = pc.if_else(pa.array(op == "D"), pa.nulls(n, pa.string()), text_arr)
+    text = text_arr.to_numpy(zero_copy_only=False)
 
     ts = pd.Timestamp("2025-01-01", tz=None).value + lsn * 1_000_000_000
-    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
-    ts = pd.to_datetime(ts).astype("datetime64[us]")
+    # microsecond precision: Spark's parquet reader rejects TIMESTAMP(NANOS).
+    # int64-ns → datetime64 is a view + unit cast, not pd.to_datetime's
+    # elementwise object path (which cost ~4s at bench scale).
+    ts = ts.view("datetime64[ns]").astype("datetime64[us]")
 
     evo_lsn = int(n * spec.evolution_at)
     model = np.where(lsn >= evo_lsn, _MODELS[lsn % len(_MODELS)], None)
     tokens = np.where(lsn >= evo_lsn, (lsn % 512 + 1).astype(np.int64), np.nan)
 
+    # Pre-built Series skip DataFrame-constructor sanitization (pandas runs
+    # datetime-inference over every object column otherwise — ~10s of pure
+    # overhead at 2M rows on columns we just built with known dtypes).
+    def _s(arr, dtype=None):
+        return pd.Series(arr, dtype=dtype, copy=False)
+
     df = pd.DataFrame(
         {
-            "lsn": lsn,
-            "op": op,
-            "conv_id": conv_id,
-            "turn_idx": turn.astype(np.int32),
-            "role": role,
-            "text": text,
-            "tool": tool,
-            "ts": ts,
-            "model": model,
-            "tokens": pd.array(
-                np.where(np.isnan(tokens), None, tokens), dtype="Int32"
+            "lsn": _s(lsn),
+            "op": _s(op, dtype=object),
+            "conv_id": _s(conv_id, dtype=object),
+            "turn_idx": _s(turn.astype(np.int32)),
+            "role": _s(role, dtype=object),
+            "text": _s(text, dtype=object),
+            "tool": _s(tool, dtype=object),
+            "ts": _s(ts),
+            "model": _s(model, dtype=object),
+            "tokens": _s(
+                pd.array(np.where(np.isnan(tokens), None, tokens), dtype="Int32")
             ),
         }
     )
@@ -178,19 +208,23 @@ def write_change_feed(spec: StreamSpec, out_dir: str) -> dict:
     evo = spec.derived["evolution_lsn"]
     rng = np.random.default_rng(spec.seed + 1)
     files = []
+    # One pandas→Arrow conversion for the whole stream; per-file chunks are
+    # zero-copy slices / takes of it (per-chunk from_pandas was ~40% of the
+    # writer's cost at bench scale). Row content is unchanged.
+    full = pa.Table.from_pandas(df, preserve_index=False)
     for lo in range(0, n, spec.events_per_file):
         hi = min(lo + spec.events_per_file, n)
-        chunk = df.iloc[lo:hi]
         if spec.out_of_order_fraction > 0:
-            k = int(len(chunk) * spec.out_of_order_fraction)
-            idx = np.arange(len(chunk))
-            swap = rng.choice(len(chunk), size=k, replace=False)
+            k = int((hi - lo) * spec.out_of_order_fraction)
+            idx = np.arange(hi - lo)
+            swap = rng.choice(hi - lo, size=k, replace=False)
             idx[np.sort(swap)] = swap  # permute a subset in place
-            chunk = chunk.iloc[idx]
+            tbl = full.take(idx + lo)
+        else:
+            tbl = full.slice(lo, hi - lo)
         if hi <= evo:
-            chunk = chunk.drop(columns=["model", "tokens"])
+            tbl = tbl.drop_columns(["model", "tokens"])
         path = os.path.join(out_dir, f"part-{lo:012d}-{hi:012d}.parquet")
-        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
         pq.write_table(tbl, path)
         files.append(path)
     return {"n_events": n, "evolution_lsn": evo, "files": files}
@@ -231,3 +265,67 @@ def replay_oracle(df: pd.DataFrame, normalize: bool = True) -> pd.DataFrame:
     return out.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
         drop=True
     )
+
+
+def _normalize_series_arrow(s: pd.Series) -> pd.Series:
+    """Arrow-compute twin of ``normalize_text_py`` for bench-scale oracles.
+
+    ZWSP removal + whitespace collapse + trim run as Arrow C++ kernels over
+    the whole column; NFC falls back to stdlib ``unicodedata`` on the
+    non-ASCII residue only (pyarrow 16's ``utf8_normalize(form="NFC")``
+    returns *decomposed* text, so it can't be used). Two deliberate
+    deviations from ``normalize_text_py``, both validated by the
+    frame-equality pin in tests/test_datagen_fast.py on generated streams:
+
+    - RE2's ``\\s`` is ASCII-only while ``str.split()`` splits on Unicode
+      whitespace (the mess inventory includes NBSP), so the collapse class
+      spells out Python's whitespace set explicitly.
+    - NFC runs after collapse instead of before; the two orders agree
+      unless whitespace removal creates a new base+combining adjacency,
+      which the generator never does (combining marks are space-bounded).
+    """
+    import pyarrow.compute as pc
+
+    # Python str.split() whitespace, spelled for RE2: ASCII \\s, the C0
+    # separators, NEL, NBSP, and the Unicode space blocks.
+    ws = (
+        r"[\s\x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
+        r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+    )
+    a = pa.array(s, type=pa.string())
+    a = pc.replace_substring(a, pattern="​", replacement="")
+    a = pc.replace_substring_regex(a, pattern=ws, replacement=" ")
+    a = pc.utf8_trim_whitespace(a)
+    vals = a.to_numpy(zero_copy_only=False)
+    out = np.empty(len(vals), dtype=object)
+    for i, t in enumerate(vals):
+        if t is None:
+            out[i] = None
+        elif t.isascii():  # NFC is the identity on ASCII
+            out[i] = t
+        else:
+            out[i] = unicodedata.normalize("NFC", t)
+    return pd.Series(out, index=s.index)
+
+
+def replay_oracle_fast(df: pd.DataFrame, normalize: bool = True) -> pd.DataFrame:
+    """Vectorized replay oracle for bench-scale streams (10^6+ events).
+
+    Under last-writer-wins, each key's final state depends ONLY on its
+    highest-lsn event: D → absent, I/U → that row's values — so the dict
+    replay collapses to sort + drop_duplicates(keep="last") + a tombstone
+    filter. ~20× faster than ``replay_oracle``; tests/test_datagen_fast.py
+    asserts frame-equality between the two on seeded streams (including
+    delete-then-reinsert resurrection and absent-key deletes), so the bench
+    can use this twin while the deliberately-naive dict replay remains the
+    ground truth the equivalence chain is anchored to.
+    """
+    df = df.sort_values("lsn", kind="stable")
+    last = df.drop_duplicates(subset=["conv_id", "turn_idx"], keep="last")
+    out = last[last["op"] != "D"].drop(columns=["lsn", "op"])
+    out = out.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(
+        drop=True
+    )
+    if normalize and "text" in out.columns and len(out):
+        out["text"] = _normalize_series_arrow(out["text"])
+    return out

@@ -320,14 +320,41 @@ class ParquetSnapshotTable:
         ).first()
         return int(row["b"])
 
+    def files_for_key(
+        self, key_value: str, bucket: int, as_of_epoch: int | None = None
+    ) -> list[str]:
+        """Manifest-level file pruning for a point read: of the bucket's
+        live files, keep only those whose [min_key, max_key] range can
+        contain ``key_value`` (files without recorded stats are kept —
+        correctness over pruning). This is the zone-map skip Iceberg does
+        with per-file column bounds: at 10^10 rows a bucket holds many
+        epoch files with mostly-disjoint key ranges, and a point read
+        should open the one or two that overlap, not the whole bucket."""
+        state, _ = self._current_state(as_of_epoch)
+        stats = self._fold_stats(as_of_epoch)
+        out = []
+        for f in state.get(str(int(bucket)), []):
+            st = stats.get(f)
+            if st is None or st.get("min_key") is None:
+                out.append(f)
+            elif st["min_key"] <= key_value <= st["max_key"]:
+                out.append(f)
+        return out
+
     def read_conversation(
         self, spark: SparkSession, conv_id: str, with_bucket_col: bool = False
     ) -> DataFrame:
-        """Point-read one conversation touching ONLY its bucket's files —
-        the 100TB lookup path (bucket pruning happens before any file I/O;
-        the conv_id filter then prunes row groups within the bucket)."""
+        """Point-read one conversation touching ONLY the manifest-pruned
+        subset of its bucket's files — the 100TB lookup path. Pruning is
+        layered: bucket routing (no I/O outside one bucket), then per-file
+        min/max key stats (files_for_key — no I/O outside overlapping
+        files), then the conv_id filter prunes row groups within them."""
         b = self.bucket_of(spark, conv_id)
-        df = self.read_snapshot(spark, buckets=[b], with_bucket_col=with_bucket_col)
+        df = self.read_files(spark, self.files_for_key(conv_id, b))
+        if with_bucket_col:
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(self.n_buckets, self.meta["bucket_by"])
+            )
         return df.filter(F.col(self.meta["bucket_by"]) == F.lit(conv_id))
 
     def read_files(
@@ -829,8 +856,17 @@ class MergeOnReadTable(ParquetSnapshotTable):
         lsn_col: str = "lsn",
         op_col: str = "op",
         drop_tombstones: bool = True,
+        files_override: Sequence[str] | None = None,
+        key_values: Sequence | None = None,
     ) -> DataFrame:
-        """The zero-shuffle fold behind read_resolved (see its docstring)."""
+        """The zero-shuffle fold behind read_resolved (see its docstring).
+
+        ``files_override`` (with a single bucket in ``buckets``) restricts
+        the fold to an explicit manifest-pruned file list; ``key_values``
+        restricts it to rows whose bucket_by column is in the set (sound
+        for LWW — a key's winner depends only on that key's own rows) and
+        is pushed into the parquet read as a row-group predicate. Both are
+        the point-read path (read_conversation)."""
         expired = int(self.meta.get("expired_before", -1))
         if as_of_epoch is not None and as_of_epoch < expired:
             raise ValueError(
@@ -839,11 +875,19 @@ class MergeOnReadTable(ParquetSnapshotTable):
             )
         state, schema = self._current_state(as_of_epoch)
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
-        items = [
-            (int(b), [os.path.join(self.root, f) for f in files])
-            for b, files in state.items()
-            if files and (wanted is None or b in wanted)
-        ]
+        if files_override is not None:
+            only = int(list(buckets)[0]) if buckets else 0
+            items = (
+                [(only, [os.path.join(self.root, f) for f in files_override])]
+                if files_override
+                else []
+            )
+        else:
+            items = [
+                (int(b), [os.path.join(self.root, f) for f in files])
+                for b, files in state.items()
+                if files and (wanted is None or b in wanted)
+            ]
         out_fields = [
             f
             for f in schema.fields
@@ -855,6 +899,8 @@ class MergeOnReadTable(ParquetSnapshotTable):
         key_cols = self.key_cols
         out_cols = [f.name for f in out_fields]
         arrow_schema_json = schema.json()
+        gate_col = self.meta["bucket_by"] if key_values is not None else None
+        gate_vals = list(key_values) if key_values is not None else None
 
         def fold(batches):
             """Pure-Arrow LWW fold (mapInArrow): no pandas round trip —
@@ -869,9 +915,12 @@ class MergeOnReadTable(ParquetSnapshotTable):
             from pyspark.sql.types import StructType as _St
 
             target = to_arrow_schema(_St.fromJson(_json.loads(arrow_schema_json)))
+            kf = {gate_col: _pa.array(gate_vals)} if gate_col else None
             for rb in batches:
                 for files in rb.column("files").to_pylist():
-                    full = _arrow_lww_fold(files, target, key_cols, lsn_col)
+                    full = _arrow_lww_fold(
+                        files, target, key_cols, lsn_col, key_filter=kf
+                    )
                     if full.num_rows == 0:
                         continue
                     if drop_tombstones:
@@ -890,9 +939,19 @@ class MergeOnReadTable(ParquetSnapshotTable):
     def read_conversation(
         self, spark: SparkSession, conv_id: str, with_bucket_col: bool = False
     ) -> DataFrame:
-        """Bucket-pruned point read with the LWW fold applied (live rows)."""
+        """Point read with the LWW fold applied (live rows), pruned at
+        every layer: bucket routing → per-file min/max key stats
+        (files_for_key skips delta files whose range can't contain the
+        conversation) → a key row-group predicate inside the fold's
+        parquet reads. Sound under LWW: a key's winner depends only on
+        its own rows, and every file that can contain the key is kept."""
         b = self.bucket_of(spark, conv_id)
-        df = self.read_resolved(spark, buckets=[b])
+        df = self._read_resolved_local(
+            spark,
+            buckets=[b],
+            files_override=self.files_for_key(conv_id, b),
+            key_values=[conv_id],
+        )
         return df.filter(F.col(self.meta["bucket_by"]) == F.lit(conv_id))
 
     # ---------- incremental changelog (CDC tap) ----------
