@@ -6,6 +6,7 @@ from transcript_cdc.streaming.stream_ingest import (
     StreamingIngest,
     VERSIONED_TRANSCRIPT_SCHEMA,
 )
+from transcript_cdc.streaming.windows import windowed_op_counts
 
 __all__ = [
     "ChangelogTail",
@@ -14,4 +15,5 @@ __all__ = [
     "StreamingIngest",
     "VERSIONED_TRANSCRIPT_SCHEMA",
     "conversation_stats_stream",
+    "windowed_op_counts",
 ]

@@ -1,0 +1,64 @@
+"""Watermarked event-time window aggregation over the change stream.
+
+The Structured Streaming half of the batch ``window_hourly_events`` query
+(__spark_entry__): tumbling/sliding event-time windows over the WAL tail
+with a watermark bounding state and dropping too-late events. This is the
+live-metrics tap of the CDC pipeline — per-window change rates by op
+(insert/update/delete mix, distinct-conversation reach) a deployment
+watches while the ingest runs.
+
+Reference analogue: the scheduled batch reporting in
+ETL/lambda/glue_monitor.py:10-32, upgraded to event-time semantics with
+fault-tolerant state (checkpointed window aggregates, exactly-once with
+an idempotent sink).
+
+Scale shape: the windowed aggregate is a streaming partial/final hash
+aggregate shuffled on (window, op) — bounded state because the watermark
+expires closed windows; no per-key timeline state, no Python in the plan.
+Late data handling is Spark's documented contract: an event older than
+``watermark = max(event_time seen) - delay`` is dropped before the
+aggregate (tested in tests/test_windowed_stream.py with a deterministic
+two-batch drive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_op_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Per-(event-time window, op) change-rate aggregate.
+
+    Works on both a streaming DataFrame (readStream over WAL segments;
+    the watermark bounds aggregation state and drops events later than
+    its delay) and a batch DataFrame (withWatermark is a no-op there —
+    the batch twin the oracle checks).
+
+    Columns: window_start, window_end, op, n_events, n_convs (approx on
+    streams would also work, exact here — count_distinct is supported in
+    streaming aggregates only with watermark set, which this does).
+    """
+    win = F.window(F.col(ts_col), window, slide or window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(op_col).alias("op"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "op",
+            "n_events",
+            "approx_convs",
+        )
+    )
