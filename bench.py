@@ -108,23 +108,56 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
             results = job.run()
             replay_s = time.time() - t0
 
-            # final-state equality pass (north_rule): engine vs dict oracle
+            # final-state equality pass (north_rule): engine vs dict oracle.
+            # Arrow end-to-end (DataFrame.toArrow + C++ sort/compare) — the
+            # pandas round trip + Python list compares cost several seconds
+            # of bench wall at 1.4M rows for identical evidence.
             t_eq = time.time()
             if skip_eq:
                 eq, n_rows = None, int(job.final_state().count())
             else:
-                eng = (
-                    job.final_state()
-                    .toPandas()
-                    .sort_values(["conv_id", "turn_idx"], kind="stable")
-                    .reset_index(drop=True)
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                eng = job.final_state().select("conv_id", "turn_idx", "text").toArrow()
+                eng = eng.take(
+                    pc.sort_indices(
+                        eng,
+                        sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+                    )
                 )
-                eq = len(eng) == len(orc) and (
-                    eng["text"].tolist() == orc["text"].tolist()
-                    and eng["conv_id"].tolist() == orc["conv_id"].tolist()
-                    and eng["turn_idx"].tolist() == orc["turn_idx"].tolist()
+                n_rows = eng.num_rows
+
+                def _col_eq(name, pa_type, sentinel):
+                    want = pa.array(orc[name], type=pa_type)
+                    got = eng[name].combine_chunks().cast(pa_type)
+                    if len(got) != len(want):
+                        return False
+                    if len(got) == 0:
+                        return True
+                    # null masks must match exactly (pc.all skips nulls, so
+                    # values are compared null-filled with a sentinel)
+                    if not pc.all(
+                        pc.equal(pc.is_null(got), pc.is_null(want))
+                    ).as_py():
+                        return False
+                    return bool(
+                        pc.all(
+                            pc.equal(
+                                pc.fill_null(got, sentinel),
+                                pc.fill_null(want, sentinel),
+                            )
+                        ).as_py()
+                    )
+
+                eq = n_rows == len(orc) and all(
+                    _col_eq(*spec)
+                    for spec in [
+                        ("conv_id", pa.string(), "\x00<null>"),
+                        ("turn_idx", pa.int32(), -(2**31)),
+                        ("text", pa.string(), "\x00<null>"),
+                    ]
                 )
-                n_rows = len(eng)
             eq_s = time.time() - t_eq
             secs = [r.get("seconds") for r in results]
             # Sustained throughput: epoch 0 carries one-time JVM/codegen/

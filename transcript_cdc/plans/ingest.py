@@ -199,6 +199,10 @@ class CdcIngestJob:
         new_schema = schemas.evolve(
             self.table.current_schema(), batch.drop(BUCKET_COL).schema
         )
+        # Type-widening evolution (int→long, float→double): delta files are
+        # written at the table's (possibly widened) types so a chain never
+        # mixes widths within one epoch; older narrow files upcast at fold.
+        batch = schemas.align_types(batch, new_schema)
         if self.cfg.probe_heavy_hitters:
             # Legacy opt-in: an exact in-epoch probe (one extra job) whose
             # per-key counts land in the manifest for skew diagnostics.
@@ -332,10 +336,16 @@ class CdcIngestJob:
                 self.table.current_schema(),
                 batch.drop(schemas.LSN_COL, schemas.OP_COL, BUCKET_COL).schema,
             )
-            snapshot = self.table.read_files(self.spark, hot)
+            # Type-widening evolution: both merge sides are cast to the
+            # evolved schema EXPLICITLY (the rewritten files carry the wide
+            # type; untouched narrow files upcast at read under the wide
+            # table schema) — the union must never rely on implicit coercion.
+            snapshot = schemas.align_types(
+                self.table.read_files(self.spark, hot), new_schema
+            )
             merged = merge_apply(
                 snapshot,
-                batch.drop(BUCKET_COL),
+                schemas.align_types(batch.drop(BUCKET_COL), new_schema),
                 key_cols=schemas.KEY_COLS,
                 broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
             )

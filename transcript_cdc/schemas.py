@@ -77,11 +77,32 @@ def value_columns(schema: T.StructType) -> list[str]:
     return [f.name for f in schema.fields if f.name not in KEY_COLS + FEED_ONLY_COLS]
 
 
+# Safe type-widening promotions (Iceberg's evolution rules): the wide type
+# represents every value the narrow type can hold, so old files stay
+# readable under the widened table schema (Spark's parquet reader and the
+# Arrow fold both upcast narrow file columns to the requested wide type).
+_WIDEN_CHAINS: list[list[T.DataType]] = [
+    [T.ShortType(), T.IntegerType(), T.LongType()],
+    [T.FloatType(), T.DoubleType()],
+]
+
+
+def can_widen(narrow: T.DataType, wide: T.DataType) -> bool:
+    """True iff `narrow` → `wide` is a lossless promotion."""
+    for chain in _WIDEN_CHAINS:
+        if narrow in chain and wide in chain:
+            return chain.index(narrow) < chain.index(wide)
+    return False
+
+
 def additive_diff(table: T.StructType, batch: T.StructType) -> list[T.StructField]:
     """Columns in `batch` missing from `table` — the additive-evolution delta.
 
-    Raises on type conflicts for same-named columns (evolution is additive
-    only; type changes are rejected, matching Iceberg's safe-evolution rules).
+    Same-named columns must have equal types or differ by a safe widening
+    (either direction: a wider batch widens the table via `evolve`; a
+    narrower batch is upcast at align time). Anything else — a string where
+    an int lived, a narrowing rewrite — is rejected, matching Iceberg's
+    safe-evolution rules.
     """
     table_by_name = {f.name: f for f in table.fields}
     new_fields: list[T.StructField] = []
@@ -89,7 +110,10 @@ def additive_diff(table: T.StructType, batch: T.StructType) -> list[T.StructFiel
         existing = table_by_name.get(f.name)
         if existing is None:
             new_fields.append(T.StructField(f.name, f.dataType, nullable=True))
-        elif existing.dataType != f.dataType:
+        elif existing.dataType != f.dataType and not (
+            can_widen(existing.dataType, f.dataType)
+            or can_widen(f.dataType, existing.dataType)
+        ):
             raise ValueError(
                 f"schema evolution type conflict on column '{f.name}': "
                 f"table has {existing.dataType}, batch has {f.dataType}"
@@ -98,5 +122,36 @@ def additive_diff(table: T.StructType, batch: T.StructType) -> list[T.StructFiel
 
 
 def evolve(table: T.StructType, batch: T.StructType) -> T.StructType:
-    """Union-by-name: table schema + batch's new nullable columns appended."""
-    return T.StructType(list(table.fields) + additive_diff(table, batch))
+    """Union-by-name with widening: table schema, with any column the batch
+    carries at a (safely) wider type promoted to that type, plus the
+    batch's new nullable columns appended."""
+    batch_by_name = {f.name: f for f in batch.fields}
+    out: list[T.StructField] = []
+    for f in table.fields:
+        b = batch_by_name.get(f.name)
+        if b is not None and can_widen(f.dataType, b.dataType):
+            out.append(T.StructField(f.name, b.dataType, f.nullable))
+        else:
+            out.append(f)
+    return T.StructType(out + additive_diff(table, batch))
+
+
+def align_types(df, schema: T.StructType):
+    """Cast any column of `df` whose type differs from `schema` to the
+    schema's (wider) type; columns absent from `schema` pass through
+    (lsn/op/bucket ride alongside the payload). Explicit casts — the merge
+    union and the parquet write must never rely on implicit coercion."""
+    from pyspark.sql import functions as F
+
+    want = {f.name: f.dataType for f in schema.fields}
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    if all(by_name[c] == want[c] for c in by_name if c in want):
+        return df
+    return df.select(
+        *[
+            F.col(c).cast(want[c]).alias(c)
+            if c in want and by_name[c] != want[c]
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

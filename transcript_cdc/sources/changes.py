@@ -59,7 +59,13 @@ class ChangeFeed:
             ) as ex:
                 fresh = list(ex.map(pq.read_schema, new))
             base = [] if self._schema_arrow is None else [self._schema_arrow]
-            self._schema_arrow = pa.unify_schemas(base + fresh)
+            # permissive: segments may carry a column at different (safely
+            # widenable) widths across the evolution point — unify to the
+            # widest; non-numeric conflicts still raise, falling back to
+            # Spark's distributed merge which rejects them loudly.
+            self._schema_arrow = pa.unify_schemas(
+                base + fresh, promote_options="permissive"
+            )
             self._schema_seen.update(new)
         return from_arrow_schema(self._schema_arrow)
 
