@@ -704,6 +704,63 @@ def q_rebucket_events(spark, sf):
     )
 
 
+def q_widen_tokens_events(spark, sf):
+    """Type-widening schema evolution through the storage engine
+    (schemas.evolve/align_types + the Arrow fold's per-file upcast):
+    epoch 0 writes a derived `tokens` column as INT, epoch 1 re-writes
+    every key with values beyond int32 range as LONG — the table schema
+    widens mid-replay and the resolved read returns exact int64 values.
+    The oracle recomputes the same LWW winners directly, so a green row
+    proves narrow files stayed readable and no value was truncated."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc import schemas as _sch
+    from transcript_cdc.sources.lake import BUCKET_COL, MergeOnReadTable, bucket_expr
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.lit("U").alias("op"),
+        "user_id",
+        "event_type",
+    )
+    mid = int(ev.agg(F.floor(F.max("lsn") / 2).cast("long")).first()[0])
+    narrow = ev.filter(F.col("lsn") <= mid).withColumn(
+        "tokens", (F.col("lsn") % 1000).cast("int")
+    )
+    wide = ev.filter(F.col("lsn") > mid).withColumn(
+        "tokens", (F.col("lsn") + F.lit(5_000_000_000)).cast("long")
+    )
+    shm = "/dev/shm" if _os.access("/dev/shm", _os.W_OK) else None
+    root = tempfile.mkdtemp(prefix="widen_q_", dir=shm)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    n_buckets = 4
+    t = MergeOnReadTable.create(
+        root,
+        StructType.fromDDL(
+            "user_id long, event_type string, tokens int, lsn long, op string"
+        ),
+        n_buckets=n_buckets,
+        key_cols=("user_id", "event_type"),
+        bucket_by="user_id",
+    )
+    for epoch, (lo, hi, batch) in enumerate(
+        [(-1, mid, narrow), (mid, 2 * mid + 2, wide)]
+    ):
+        new_schema = _sch.evolve(t.current_schema(), batch.schema)
+        delta = _sch.align_types(
+            lww_dedup(batch, ["user_id", "event_type"], "lsn"), new_schema
+        ).withColumn(BUCKET_COL, bucket_expr(n_buckets, "user_id"))
+        t.commit_epoch(
+            epoch, delta, list(range(n_buckets)), lo, hi, new_schema, append=True
+        )
+    return t.read_resolved(spark).select("user_id", "event_type", "tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_dedup_events": q_lww_dedup_events,
@@ -751,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_events": q_changelog_events,
         "ivm_agg_events": q_ivm_agg_events,
         "rebucket_events": q_rebucket_events,
+        "widen_tokens_events": q_widen_tokens_events,
     }
 
 
@@ -1136,6 +1194,24 @@ def oracle_sql() -> dict[str, str]:
                              user_id, event_type, value
                       FROM events) e)
             WHERE rn = 1 AND op <> 'D'
+        """,
+        # mid-replay type widening preserves every value exactly: the
+        # oracle recomputes the LWW winners with the same narrow/wide
+        # tokens derivation (mid = floor(max(event_id)/2), as a scalar
+        # subquery so both engines split at the same lsn)
+        "widen_tokens_events": """
+            SELECT user_id, event_type, tokens FROM (
+                SELECT e.*, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY event_id DESC) AS rn
+                FROM (SELECT event_id, user_id, event_type,
+                             CASE WHEN event_id <= (
+                                     SELECT CAST(floor(max(event_id) / 2) AS BIGINT)
+                                     FROM events)
+                                  THEN event_id % 1000
+                                  ELSE event_id + 5000000000 END AS tokens
+                      FROM events) e)
+            WHERE rn = 1
         """,
         # Generated twins (transcript_cdc/oracle_twins.py) — same seeded
         # constants and IEEE-ordered float math as the Spark queries:
