@@ -123,6 +123,24 @@ def test_fast_oracle_adversarial_sequences():
     assert naive.set_index("conv_id").loc["c4", "text"] == "v2"
 
 
+def test_fast_normalize_matches_python_on_exotic_whitespace():
+    """Every char Python's str.split() treats as whitespace must collapse
+    identically in the Arrow twin — incl. vertical tab (absent from RE2's
+    ASCII \\s) and the Unicode space blocks."""
+    from transcript_cdc.datagen import _normalize_series_arrow, normalize_text_py
+
+    exotic = [
+        "a\x0bb", "a\x1c\x1d\x1e\x1fb", "a\x85b", "a\xa0b",
+        "a\u1680b", "a\u2000b", "a\u2003b", "a\u200ab",
+        "a\u2028b", "a\u2029b", "a\u202fb", "a\u205fb", "a\u3000b",
+        " \x0b mixed\t runs \u3000 ", None,
+        "e\u0301 combining", "\u200bzwsp\u200b",
+    ]
+    want = [normalize_text_py(s) for s in exotic]
+    got = list(_normalize_series_arrow(pd.Series(exotic, dtype=object)))
+    assert got == want
+
+
 def test_feed_roundtrip_reproduces_stream(tmp_path):
     spec = StreamSpec(**SPEC_B, events_per_file=3000)
     out = str(tmp_path / "feed")

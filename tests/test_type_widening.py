@@ -74,6 +74,29 @@ def test_align_types_casts_only_mismatches(spark):
     assert schemas.align_types(df, df.schema) is df  # no-op fast path
 
 
+def test_feed_footer_unify_widens_but_rejects_lossy():
+    import pyarrow as pa
+
+    from transcript_cdc.sources.changes import _unify_widening
+
+    a = pa.schema([("k", pa.int16()), ("v", pa.float32())])
+    b = pa.schema([("k", pa.int64()), ("v", pa.float64()), ("extra", pa.string())])
+    out = _unify_widening([a, b])
+    assert out.field("k").type == pa.int64()
+    assert out.field("v").type == pa.float64()
+    assert out.field("extra").type == pa.string()
+    # pyarrow's permissive promotion would coerce int64+float64 → double
+    # (lossy above 2^53); the engine must refuse instead
+    with pytest.raises(ValueError, match="only safe numeric widening"):
+        _unify_widening(
+            [pa.schema([("x", pa.int64())]), pa.schema([("x", pa.float64())])]
+        )
+    with pytest.raises(ValueError):
+        _unify_widening(
+            [pa.schema([("x", pa.string())]), pa.schema([("x", pa.int32())])]
+        )
+
+
 # ---------- e2e: mid-replay widening through both storage engines ----------
 
 def _write(path, name, rows, tokens_dtype):

@@ -286,10 +286,11 @@ def _normalize_series_arrow(s: pd.Series) -> pd.Series:
     """
     import pyarrow.compute as pc
 
-    # Python str.split() whitespace, spelled for RE2: ASCII \\s, the C0
-    # separators, NEL, NBSP, and the Unicode space blocks.
+    # Python str.split() whitespace, spelled for RE2: ASCII \\s (which in
+    # RE2 lacks vertical tab — added explicitly), the C0 separators, NEL,
+    # NBSP, and the Unicode space blocks.
     ws = (
-        r"[\s\x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
+        r"[\s\x0b\x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
         r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
     )
     a = pa.array(s, type=pa.string())

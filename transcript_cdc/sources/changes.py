@@ -19,6 +19,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _unify_widening(schemas_in):
+    """Unify parquet footer schemas across evolution points, allowing ONLY
+    the engine's safe widenings (int16→int32→int64, float32→float64) for
+    same-named columns — pyarrow's ``promote_options="permissive"`` would
+    also quietly promote int64+float64 to double, a LOSSY coercion
+    (precision loss above 2^53) that schemas.can_widen forbids; conflicts
+    outside the chains raise so a mistyped producer fails loudly."""
+    import pyarrow as pa
+
+    chains = [
+        [pa.int16(), pa.int32(), pa.int64()],
+        [pa.float32(), pa.float64()],
+    ]
+    fields: dict[str, object] = {}
+    order: list[str] = []
+    for sch in schemas_in:
+        for f in sch:
+            cur = fields.get(f.name)
+            if cur is None:
+                fields[f.name] = f
+                order.append(f.name)
+                continue
+            nullable = cur.nullable or f.nullable
+            if cur.type == f.type:
+                wide = cur.type
+            else:
+                for chain in chains:
+                    if cur.type in chain and f.type in chain:
+                        wide = chain[max(chain.index(cur.type), chain.index(f.type))]
+                        break
+                else:
+                    raise ValueError(
+                        f"feed segments disagree on column '{f.name}': "
+                        f"{cur.type} vs {f.type} — only safe numeric "
+                        "widening is allowed across evolution points"
+                    )
+            fields[f.name] = pa.field(f.name, wide, nullable=nullable)
+    return pa.schema([fields[n] for n in order])
+
+
 class ChangeFeed:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -59,13 +99,10 @@ class ChangeFeed:
             ) as ex:
                 fresh = list(ex.map(pq.read_schema, new))
             base = [] if self._schema_arrow is None else [self._schema_arrow]
-            # permissive: segments may carry a column at different (safely
-            # widenable) widths across the evolution point — unify to the
-            # widest; non-numeric conflicts still raise, falling back to
-            # Spark's distributed merge which rejects them loudly.
-            self._schema_arrow = pa.unify_schemas(
-                base + fresh, promote_options="permissive"
-            )
+            # segments may carry a column at different (safely widenable)
+            # widths across the evolution point — unify to the widest;
+            # anything else raises (see _unify_widening)
+            self._schema_arrow = _unify_widening(base + fresh)
             self._schema_seen.update(new)
         return from_arrow_schema(self._schema_arrow)
 

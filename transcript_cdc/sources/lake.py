@@ -158,6 +158,12 @@ class ParquetSnapshotTable:
         self.commits_dir = os.path.join(root, "_commits")
         self.data_dir = os.path.join(root, "data")
         self._meta: dict | None = None
+        # parsed-manifest cache, validated by (mtime_ns, size) — manifests
+        # are immutable once committed (rollback DELETES them, which the
+        # stat catches), so every fold over the chain (_current_state /
+        # _fold_stats, 2-3 of which back one point read) parses each
+        # epoch's JSON at most once per table object, not once per fold
+        self._manifest_cache: dict[int, tuple[tuple[int, int], dict]] = {}
 
     # ---------- table lifecycle ----------
 
@@ -223,8 +229,17 @@ class ParquetSnapshotTable:
         return sorted(out)
 
     def read_manifest(self, epoch: int) -> dict:
-        with open(self._manifest_path(epoch)) as f:
-            return json.load(f)
+        """Parsed manifest for one epoch (cached; treat as immutable)."""
+        path = self._manifest_path(epoch)
+        st = os.stat(path)
+        key = (st.st_mtime_ns, st.st_size)
+        hit = self._manifest_cache.get(epoch)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        with open(path) as f:
+            m = json.load(f)
+        self._manifest_cache[epoch] = (key, m)
+        return m
 
     def last_committed(self) -> dict | None:
         """Resume point: the highest committed manifest (epoch + lsn_hi).
@@ -952,6 +967,10 @@ class MergeOnReadTable(ParquetSnapshotTable):
             files_override=self.files_for_key(conv_id, b),
             key_values=[conv_id],
         )
+        if with_bucket_col:
+            df = df.withColumn(
+                BUCKET_COL, bucket_expr(self.n_buckets, self.meta["bucket_by"])
+            )
         return df.filter(F.col(self.meta["bucket_by"]) == F.lit(conv_id))
 
     # ---------- incremental changelog (CDC tap) ----------

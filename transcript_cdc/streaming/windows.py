@@ -42,9 +42,10 @@ def windowed_op_counts(
     its delay) and a batch DataFrame (withWatermark is a no-op there —
     the batch twin the oracle checks).
 
-    Columns: window_start, window_end, op, n_events, n_convs (approx on
-    streams would also work, exact here — count_distinct is supported in
-    streaming aggregates only with watermark set, which this does).
+    Columns: window_start, window_end, op, n_events, approx_convs — the
+    conversation reach is an HLL approximation (approx_count_distinct),
+    the streaming-safe distinct aggregate; exact distinct per window
+    would require keeping every conv_id in state.
     """
     win = F.window(F.col(ts_col), window, slide or window)
     return (
