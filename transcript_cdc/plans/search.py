@@ -23,7 +23,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from transcript_cdc.functions.vectors import dot, hash_embed
-from transcript_cdc.operators.dedup import union_dedup
 from transcript_cdc.operators.filters import conjunction, point_lookup
 from transcript_cdc.operators.topk import rerank, top_k
 
@@ -150,25 +149,49 @@ def hybrid_search(
 ) -> DataFrame:
     """Filtered hybrid top-k: lexical + semantic branches, union-dedup by id
     keeping max score, rerank, cut to top_k_final (config.py:14 top_k=50,
-    :57 per-retriever 25)."""
+    :57 per-retriever 25).
+
+    Plan shape: ONE scan of the snapshot computes both scores and
+    posexplodes them into (branch, score) rows; per-branch top-k is a
+    row_number window over branch, which Spark rewrites to WindowGroupLimit
+    (per-partition partial limit before the exchange, ≤ 2·k rows shuffled
+    per input partition). The naive two-branch formulation scans and
+    re-filters the table once per retriever — at 100 TB that's a second
+    full table read for zero new information."""
+    from pyspark.sql import Window
+
     base = snapshot.filter(conjunction(*filters))
     terms = query_text.split()
 
-    lex = top_k(
-        base.withColumn("score", lexical_score(text_col, terms)),
-        "score", per_retriever_k, tiebreak=id_cols,
-    )
     # built once: each construction embeds the query (a 1-row driver job
     # on the xx64 path); the unresolved Column tree is reusable across
-    # both the retrieval branch and the rerank blend
+    # the retrieval scan and the rerank blend
     sem_score = embedding_score(text_col, query_text, hash_fn=hash_fn)
-    sem = top_k(
-        base.withColumn("score", sem_score),
-        "score", per_retriever_k, tiebreak=id_cols,
+    lex_score = lexical_score(text_col, terms)
+
+    scored = base.select(
+        "*", F.posexplode(F.array(lex_score, sem_score)).alias("__branch", "score")
     )
-    merged = union_dedup(lex, sem, id_cols, "score", tiebreak=F.col(id_cols[0]))
-    # rerank: blend lexical and semantic (the cross-encoder stand-in)
-    blended = (lexical_score(text_col, terms) + sem_score) / 2
+    order = [F.col("score").desc()] + [F.col(c).asc() for c in id_cols]
+    w_branch = Window.partitionBy("__branch").orderBy(*order)
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w_branch))
+        .filter(F.col("__rn") <= per_retriever_k)
+        .drop("__rn")
+    )
+    # union-dedup by id keeping the max-score row (DocumentJoiner
+    # concatenate semantics, same window-LWW shape as union_dedup)
+    w_id = Window.partitionBy(*id_cols).orderBy(
+        F.col("score").desc(), F.col(id_cols[0])
+    )
+    merged = (
+        cand.withColumn("__rn", F.row_number().over(w_id))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__branch")
+    )
+    # rerank: blend lexical and semantic (the cross-encoder stand-in) —
+    # re-evaluated only over the ≤ 2·per_retriever_k merged candidates
+    blended = (lex_score + sem_score) / 2
     return rerank(merged, blended, top_k_final, tiebreak=id_cols)
 
 
