@@ -168,3 +168,37 @@ def test_changelog_read_has_no_data_exchange(spark, mor_job):
     assert "FileScan parquet" not in p
     assert p.count("Exchange") == 1
     assert "MapInArrow" in p or "PythonMapInArrow" in p
+
+
+def test_hybrid_search_scans_once_with_window_group_limit(spark):
+    """The fused hybrid plan: ONE parquet scan of documents feeding both
+    retriever branches (posexplode of the two scores), per-branch top-k as
+    WindowGroupLimit (partial limit before the exchange) — never a second
+    full table read per retriever."""
+    from transcript_cdc.plans.search import hybrid_search
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df = hybrid_search(
+        docs, "alpha beta", id_cols=["doc_id"], text_col="text",
+        filters=[F.col("n_chars") > 50], top_k_final=20,
+        per_retriever_k=25, hash_fn="md5",
+    )
+    p = plan_of(df)
+    assert p.count("FileScan parquet") == 1
+    assert "WindowGroupLimit" in p
+
+
+def test_minhash_pairs_plan_has_no_join(spark):
+    """LSH candidate pairs come from one grouped shuffle + in-bucket
+    combination — the signature pipeline is evaluated once (no self-join
+    recomputing it per side, no cartesian product anywhere)."""
+    from transcript_cdc.functions.dedup_text import minhash_near_dup_pairs
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df = minhash_near_dup_pairs(
+        docs, "text", "doc_id", shingle_n=3, k=16, bands=4,
+        jaccard_threshold=0.5, hash_fn="md5",
+    )
+    p = plan_of(df)
+    assert p.count("FileScan parquet") == 1
+    assert "Join" not in p and "CartesianProduct" not in p
