@@ -86,15 +86,32 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
             n = info["n_events"]
         gen_s = time.time() - t_gen
 
-        t_orc = time.time()
-        # replay_oracle_fast ≡ the naive dict replay (frame-equality pinned
-        # in tests/test_datagen_fast.py); the dict replay at this scale cost
-        # ~42s of bench wall for zero extra evidence.
-        orc = None if skip_eq else replay_oracle_fast(generate_events(spec), normalize=True)
-        orc_s = time.time() - t_orc
-
         shuffle_p = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         out: dict = {}
+        # One-time JVM/codegen/Arrow-python-worker warmup: a miniature
+        # replay through the same code paths (window dedup, merge/append,
+        # Arrow normalizer, parquet write) per storage mode, so the timed
+        # epochs measure the engine and not first-call compilation. A
+        # 10^10-event deployment pays this constant once; without it epoch
+        # 0 carries ~3x the steady-state wall (see sustained_events_per_sec,
+        # which excludes epoch 0 for the same reason).
+        if os.environ.get("BENCH_SKIP_WARMUP") != "1":
+            warm_feed = os.path.join(work, "warm_feed")
+            write_change_feed(
+                StreamSpec(n_conversations=60, seed=7, events_per_file=500),
+                warm_feed,
+            )
+            for mode in modes:
+                CdcIngestJob(
+                    spark, warm_feed, os.path.join(work, f"warm_{mode}"),
+                    IngestConfig(n_buckets=4, epoch_events=10**9, storage=mode),
+                ).run()
+        # Timed replays run back-to-back FIRST; the oracle build and the
+        # equality passes are deferred until after both modes. The oracle
+        # and the Arrow compares are harness work, not engine work — on a
+        # burstable host, running them between the timed sections drains
+        # the CPU budget that the second mode's timing then pays for.
+        timed: dict[str, tuple] = {}
         for mode in modes:
             cfg = IngestConfig(
                 n_buckets=32,
@@ -106,7 +123,17 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
             t0 = time.time()
             job = CdcIngestJob(spark, feed_dir, table_root, cfg)
             results = job.run()
-            replay_s = time.time() - t0
+            timed[mode] = (job, results, time.time() - t0)
+
+        t_orc = time.time()
+        # replay_oracle_fast ≡ the naive dict replay (frame-equality pinned
+        # in tests/test_datagen_fast.py); the dict replay at this scale cost
+        # ~42s of bench wall for zero extra evidence.
+        orc = None if skip_eq else replay_oracle_fast(generate_events(spec), normalize=True)
+        orc_s = time.time() - t_orc
+
+        for mode in modes:
+            job, results, replay_s = timed[mode]
 
             # final-state equality pass (north_rule): engine vs dict oracle.
             # Arrow end-to-end (DataFrame.toArrow + C++ sort/compare) — the
@@ -160,11 +187,12 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
                 )
             eq_s = time.time() - t_eq
             secs = [r.get("seconds") for r in results]
-            # Sustained throughput: epoch 0 carries one-time JVM/codegen/
-            # Arrow-worker warmup (constant per process, visibly front-
-            # loaded in epoch_seconds); a 10^10-event deployment amortizes
-            # it to nothing, so the sustained figure excludes it. Epoch
-            # event counts are equal by construction (fixed LSN windows).
+            # Sustained throughput: excludes epoch 0, which historically
+            # carried one-time JVM/codegen/Arrow-worker warmup (now mostly
+            # absorbed by the explicit warmup pass above, but epoch 0 still
+            # pays first-touch costs like feed footer reads); a 10^10-event
+            # deployment amortizes it to nothing. Epoch event counts are
+            # equal by construction (fixed LSN windows).
             sustained = None
             if len(secs) > 1 and all(isinstance(s, (int, float)) for s in secs):
                 ev_per_epoch = n / len(secs)
