@@ -253,3 +253,39 @@ def test_portable_hash_embed_matches_python_twin(spark):
     ).collect()
     for r in rows:
         assert list(r["v"]) == py_hash_embed(r["text"], 16), r["text"][:50]
+
+
+def test_minhash_null_text_rows_never_pair(spark):
+    """Null-text rows hash to a null bucket; they must be DROPPED (the old
+    inner-join semantics), not collected into one giant null group that
+    would pair every unhashable row with every other."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tonight")),
+         (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup_pairs(
+        df, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.0
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(a not in (3, 4, 5) and b not in (3, 4, 5) for a, b in got)
+
+
+def test_embedding_near_dup_null_vectors_never_pair(spark):
+    from transcript_cdc.functions.dedup_text import embedding_near_dup_pairs
+    from transcript_cdc.functions.vectors import make_planes
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, None),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(
+        df, planes=make_planes(4, 4), cosine_threshold=0.9
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}

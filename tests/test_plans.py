@@ -202,3 +202,19 @@ def test_minhash_pairs_plan_has_no_join(spark):
     p = plan_of(df)
     assert p.count("FileScan parquet") == 1
     assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_hybrid_search_tolerates_existing_score_column(spark):
+    """A caller re-ranking an already-scored snapshot must not hit an
+    ambiguous-reference error: hybrid_search replaces any pre-existing
+    score/__branch columns like the old withColumn formulation did."""
+    from transcript_cdc.plans.search import hybrid_search
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pre_scored = docs.withColumn("score", F.lit(0.5))
+    df = hybrid_search(
+        pre_scored, "alpha beta", id_cols=["doc_id"], text_col="text",
+        top_k_final=5, per_retriever_k=10, hash_fn="md5",
+    )
+    rows = df.select("doc_id", "score").collect()
+    assert len(rows) == 5

@@ -154,7 +154,12 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
         lambda p: p["a"][id_field] != p["b"][id_field],
     )
     return (
-        banded.groupBy("bucket")
+        # null bucket = unhashable row (null text/embedding). The former
+        # inner self-join dropped those; groupBy would instead collect them
+        # all into ONE group and emit |nulls|²/2 pairs — filter to match
+        # the join semantics and keep the blowup impossible.
+        banded.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
         .agg(ms.alias("ms"))
         .select(F.explode(pairs).alias("p"))
         .select("p.a", "p.b")
@@ -176,7 +181,15 @@ def minhash_near_dup_pairs(
     once and pair over that table incrementally.
     """
     rows_per_band = k // bands
-    sigd = df.select(
+    # Rows with no shingleable text are excluded up front. Null/empty text
+    # would otherwise hash to the signature of the empty string (concat_ws
+    # of all-null parts is ""), putting EVERY such row in one identical
+    # bucket set — an O(|empty docs|²) pair blowup for a common data-quality
+    # case at corpus scale, and the pairs carry no dedup signal.
+    hashable = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    sigd = hashable.select(
         F.col(id_col).alias("id"),
         minhash_signature(
             shingles(text_col, shingle_n, hash_fn), k, seed

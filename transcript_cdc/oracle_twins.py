@@ -203,6 +203,7 @@ def minhash_pairs_sql(
     return f"""
         WITH t AS (
             SELECT {id_col} AS id, {toks} AS toks FROM {table}
+            WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
         ),
         s AS (
             SELECT id,

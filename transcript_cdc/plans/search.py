@@ -169,7 +169,11 @@ def hybrid_search(
     sem_score = embedding_score(text_col, query_text, hash_fn=hash_fn)
     lex_score = lexical_score(text_col, terms)
 
-    scored = base.select(
+    # drop any pre-existing score/__branch columns: the old withColumn
+    # formulation REPLACED a caller-supplied "score"; select("*", ...)
+    # would instead duplicate the name and break resolution downstream
+    clean = base.drop("score", "__branch")
+    scored = clean.select(
         "*", F.posexplode(F.array(lex_score, sem_score)).alias("__branch", "score")
     )
     order = [F.col("score").desc()] + [F.col(c).asc() for c in id_cols]
