@@ -289,3 +289,29 @@ def test_embedding_near_dup_null_vectors_never_pair(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_minhash_max_bucket_size_drops_stopword_buckets(spark):
+    """The corpus-scale guard: buckets hotter than the cap are dropped
+    whole (too-common-signature rule), while pairs in small buckets
+    survive untouched."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    common = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    rows = [(1, base), (2, base.replace("today", "tonight"))]
+    rows += [(100 + i, common) for i in range(30)]  # one mega-bucket
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = minhash_near_dup_pairs(
+        df, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.4
+    )
+    got_all = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (1, 2) in got_all
+    assert any(a >= 100 for a, _ in got_all)  # the mega-bucket pairs exist
+
+    capped = minhash_near_dup_pairs(
+        df, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.4,
+        max_bucket_size=10,
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1, 2) in got
+    assert all(a < 100 and b < 100 for a, b in got)

@@ -122,7 +122,9 @@ def lsh_band_buckets(
     return F.array(*[bucket(b) for b in range(bands)])
 
 
-def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
+def _bucket_pairs(
+    banded: DataFrame, payload_cols: list[str], max_bucket_size: int | None = None
+) -> DataFrame:
     """Intra-bucket candidate pairs: groupBy bucket, sort members by the
     leading payload column (the id), emit each (m[i], m[j]) with i < j.
 
@@ -132,9 +134,11 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
     minhash query). Pair count per bucket is |m|·(|m|−1)/2 — the same
     quadratic term the join had; collect_list additionally requires one
     bucket's members to fit in executor memory, which is the LSH operating
-    regime anyway (at corpus scale, cap or salt mega-buckets first: a
-    bucket so hot it can't fit in RAM would emit an unusable pair blowup
-    under either plan). Returns struct columns a, b with a.id < b.id.
+    regime anyway. ``max_bucket_size`` is the corpus-scale guard: buckets
+    hotter than the cap are dropped whole (the standard "too-common
+    bucket" rule — a bucket shared by 10^5 documents is a stopword-shaped
+    signature carrying no dedup signal, and its 10^10 pairs would be
+    unusable under ANY plan). Returns struct columns a, b with a.id < b.id.
     """
     id_field = payload_cols[0]
     ms = F.array_sort(
@@ -153,7 +157,7 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
         # same doc can land in one bucket via two different bands
         lambda p: p["a"][id_field] != p["b"][id_field],
     )
-    return (
+    grouped = (
         # null bucket = unhashable row (null text/embedding). The former
         # inner self-join dropped those; groupBy would instead collect them
         # all into ONE group and emit |nulls|²/2 pairs — filter to match
@@ -161,15 +165,17 @@ def _bucket_pairs(banded: DataFrame, payload_cols: list[str]) -> DataFrame:
         banded.filter(F.col("bucket").isNotNull())
         .groupBy("bucket")
         .agg(ms.alias("ms"))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.a", "p.b")
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ms") <= max_bucket_size)
+    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 def minhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, k: int = 32, bands: int = 8, seed: int = 7,
     jaccard_threshold: float = 0.7, hash_fn: str = "xx64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs sharing an LSH band bucket, verified by estimated
     Jaccard (matching minhash fraction). Returns (id_a, id_b, est_jaccard).
@@ -203,7 +209,7 @@ def minhash_near_dup_pairs(
         ).alias("bucket"),
     )
     pairs = (
-        _bucket_pairs(banded, ["id", "sig"])
+        _bucket_pairs(banded, ["id", "sig"], max_bucket_size=max_bucket_size)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -293,6 +299,7 @@ def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     planes: list | None = None, cosine_threshold: float = 0.95,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket by hyperplane signature, exact
     cosine within buckets. Same no-cross-join scale shape as minhash."""
@@ -311,7 +318,7 @@ def embedding_near_dup_pairs(
         hyperplane_signature(vec_col, planes).alias("bucket"),
     )
     return (
-        _bucket_pairs(sigd, ["id", "v"])
+        _bucket_pairs(sigd, ["id", "v"], max_bucket_size=max_bucket_size)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
