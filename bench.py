@@ -146,7 +146,9 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
                 import pyarrow as pa
                 import pyarrow.compute as pc
 
-                eng = job.final_state().select("conv_id", "turn_idx", "text").toArrow()
+                # columns= threads the projection into the MOR fold's
+                # parquet reads (mapInArrow is opaque to Catalyst)
+                eng = job.final_state(columns=["conv_id", "turn_idx", "text"]).toArrow()
                 eng = eng.take(
                     pc.sort_indices(
                         eng,

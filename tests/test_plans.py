@@ -218,3 +218,31 @@ def test_hybrid_search_tolerates_existing_score_column(spark):
     )
     rows = df.select("doc_id", "score").collect()
     assert len(rows) == 5
+
+
+def test_resolved_read_column_projection(spark, mor_job):
+    """read_resolved(columns=...) must equal the full read's projection
+    row-for-row — including over schema-evolved chains where older files
+    lack evolved columns — and reject unknown columns. The point is the
+    fold-side parquet pruning (mapInArrow is opaque to Catalyst, so the
+    projection is threaded into the Arrow reads explicitly)."""
+    t = mor_job.table
+    cols = ["conv_id", "turn_idx", "text"]
+    narrow = sorted(map(tuple, t.read_resolved(spark, columns=cols).collect()))
+    full = sorted(
+        map(tuple, t.read_resolved(spark).select(*cols).collect())
+    )
+    assert narrow == full and len(narrow) > 0
+
+    # projecting an EVOLVED column: older files lack it entirely, so the
+    # pruned read must intersect with each file's own schema and null-pad
+    evolved = [f.name for f in t.current_schema().fields
+               if f.name in ("model", "tokens")]
+    assert evolved, "fixture feed should carry mid-stream schema evolution"
+    cols2 = ["conv_id", "turn_idx", evolved[0]]
+    narrow2 = sorted(map(tuple, t.read_resolved(spark, columns=cols2).collect()))
+    full2 = sorted(map(tuple, t.read_resolved(spark).select(*cols2).collect()))
+    assert narrow2 == full2
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read_resolved(spark, columns=["conv_id", "nope"]).collect()

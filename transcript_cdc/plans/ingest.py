@@ -36,6 +36,7 @@ drive file pruning — SURVEY.md §7 hard #5).
 from __future__ import annotations
 
 import time
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -457,7 +458,16 @@ class CdcIngestJob:
 
     # ---------- reads ----------
 
-    def final_state(self, as_of_epoch: int | None = None) -> DataFrame:
+    def final_state(
+        self, as_of_epoch: int | None = None, columns: Sequence[str] | None = None
+    ) -> DataFrame:
+        """Current (or as-of-epoch) resolved table state. ``columns``
+        projects the read: on mor it is threaded into the Arrow fold's
+        parquet reads (mapInArrow is opaque to Catalyst); on cow a plain
+        select suffices — Catalyst prunes the scan."""
         if self.cfg.storage == "mor":
-            return self.table.read_resolved(self.spark, as_of_epoch=as_of_epoch)
-        return self.table.read_snapshot(self.spark, as_of_epoch=as_of_epoch)
+            return self.table.read_resolved(
+                self.spark, as_of_epoch=as_of_epoch, columns=columns
+            )
+        df = self.table.read_snapshot(self.spark, as_of_epoch=as_of_epoch)
+        return df if columns is None else df.select(*columns)

@@ -62,6 +62,13 @@ def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None):
     caller decides (resolved read drops them; the changelog classifies
     them). Returns a pyarrow.Table with the ``target`` schema.
 
+    Projection pushdown: only ``target``'s columns are read from parquet
+    (intersected with each file's own schema — older files may lack
+    evolved columns, which null-pad as before). Callers prune ``target``
+    to key/version/projected columns (read_resolved(columns=...)), so a
+    narrow read of a wide table skips the untouched columns' IO entirely —
+    the custom-operator analogue of Catalyst's ReadSchema pruning.
+
     ``key_filter``: optional {key_col: pyarrow array of wanted values} —
     restricts the fold to those keys (sound for LWW: a key's winner
     depends only on that key's rows). The first key column's set is pushed
@@ -83,9 +90,11 @@ def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None):
         except Exception:  # pragma: no cover — older pyarrow: in-memory only
             pass
 
+    want = [f.name for f in target]
     tabs = []
     for f in files:
-        t = _pq.read_table(f, **read_kw)
+        have = set(_pq.read_schema(f).names)
+        t = _pq.read_table(f, columns=[c for c in want if c in have], **read_kw)
         if key_filter:
             mask = None
             for c, vals in key_filter.items():
@@ -830,9 +839,13 @@ class MergeOnReadTable(ParquetSnapshotTable):
         lsn_col: str = "lsn",
         op_col: str = "op",
         local_fold: bool = True,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """Scan delta chains and fold to current state: LWW by lsn per key,
-        tombstones dropped.
+        tombstones dropped. ``columns`` projects the output and (on the
+        local-fold path) prunes the worker-side parquet reads to key +
+        version + projected columns — mapInArrow is opaque to Catalyst, so
+        column pruning must be threaded through explicitly.
 
         Default (``local_fold=True``): BUCKET-LOCAL fold with zero data
         shuffle — the key is a function of the bucket, so each bucket's
@@ -847,7 +860,8 @@ class MergeOnReadTable(ParquetSnapshotTable):
         (useful as a cross-check; equality is asserted in tests)."""
         if local_fold:
             return self._read_resolved_local(
-                spark, buckets, as_of_epoch, with_version_cols, lsn_col, op_col
+                spark, buckets, as_of_epoch, with_version_cols, lsn_col, op_col,
+                columns=columns,
             )
         from pyspark.sql import Window
 
@@ -860,6 +874,8 @@ class MergeOnReadTable(ParquetSnapshotTable):
         )
         if not with_version_cols:
             df = df.drop(lsn_col, op_col)
+        if columns is not None:
+            df = df.select(*columns)  # Catalyst prunes the scan itself
         return df
 
     def _read_resolved_local(
@@ -873,6 +889,7 @@ class MergeOnReadTable(ParquetSnapshotTable):
         drop_tombstones: bool = True,
         files_override: Sequence[str] | None = None,
         key_values: Sequence | None = None,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """The zero-shuffle fold behind read_resolved (see its docstring).
 
@@ -881,7 +898,10 @@ class MergeOnReadTable(ParquetSnapshotTable):
         restricts it to rows whose bucket_by column is in the set (sound
         for LWW — a key's winner depends only on that key's own rows) and
         is pushed into the parquet read as a row-group predicate. Both are
-        the point-read path (read_conversation)."""
+        the point-read path (read_conversation). ``columns`` projects the
+        output AND prunes the fold's parquet reads to key + version +
+        projected columns (sound: the LWW winner is decided by key+lsn
+        alone, never by a dropped payload column)."""
         expired = int(self.meta.get("expired_before", -1))
         if as_of_epoch is not None and as_of_epoch < expired:
             raise ValueError(
@@ -908,12 +928,25 @@ class MergeOnReadTable(ParquetSnapshotTable):
             for f in schema.fields
             if with_version_cols or f.name not in (lsn_col, op_col)
         ]
+        if columns is not None:
+            known = {f.name for f in out_fields}
+            unknown = [c for c in columns if c not in known]
+            if unknown:
+                raise ValueError(f"unknown columns for resolved read: {unknown}")
+            keep = set(columns)
+            out_fields = [f for f in out_fields if f.name in keep]
         out_schema = T.StructType(out_fields)
         if not items:
             return empty_df(spark, out_schema)
         key_cols = self.key_cols
         out_cols = [f.name for f in out_fields]
-        arrow_schema_json = schema.json()
+        # the fold reads only what the output + LWW ordering need: the
+        # parquet reads inside _arrow_lww_fold are pruned to this schema
+        needed = {*key_cols, lsn_col, op_col, *(f.name for f in out_fields)}
+        if key_values is not None:
+            needed.add(self.meta["bucket_by"])
+        fold_schema = T.StructType([f for f in schema.fields if f.name in needed])
+        arrow_schema_json = fold_schema.json()
         gate_col = self.meta["bucket_by"] if key_values is not None else None
         gate_vals = list(key_values) if key_values is not None else None
 
