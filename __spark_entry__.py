@@ -19,13 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from transcript_cdc.functions import text as tx
 from transcript_cdc.functions.dedup_text import (
+    DEFAULT_MAX_BUCKET_SIZE,
     embedding_near_dup_pairs,
     minhash_near_dup_pairs,
     simhash,
 )
 from transcript_cdc.functions.json_fns import parse_props
 from transcript_cdc.functions.multimodal import extract_features
-from transcript_cdc.functions.normalize import normalize_text_sql
+from transcript_cdc.functions.normalize import clean_document, normalize_text_sql
 from transcript_cdc.functions.records import parse_records, record_xml
 from transcript_cdc.functions.vectors import cosine_topk, lsh_candidate_topk, make_planes
 from transcript_cdc.operators.dedup import lww_dedup, union_dedup
@@ -105,6 +106,37 @@ def q_merge_upsert_events(spark, sf):
         spark, StructType.fromDDL("user_id long, event_type string, value double")
     )
     return merge_apply(snap, batch, key_cols=["user_id", "event_type"], broadcast_batch=True)
+
+
+def q_merge_versioned_events(spark, sf):
+    """Out-of-order replay through merge_apply_versioned (round-2 verdict
+    item 9): the even-lsn half of the feed is applied FIRST, the odd-lsn
+    half second — a re-ordered delivery merge_apply would corrupt — and the
+    lsn-versioned merge must still converge to the global LWW state, with
+    deletes retained as tombstones (null payload). Oracle: one windowed
+    LWW over the whole feed."""
+    from pyspark.sql.types import StructType
+
+    from transcript_cdc.operators.merge import merge_apply_versioned
+    from transcript_cdc.sources.lake import empty_df
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 10 == 0, "D").otherwise("U").alias("op"),
+        "user_id", "event_type", "value",
+    )
+    keys = ["user_id", "event_type"]
+    newer = lww_dedup(ev.filter(F.col("lsn") % 2 == 0), keys, "lsn")
+    older = lww_dedup(ev.filter(F.col("lsn") % 2 == 1), keys, "lsn")
+    snap = empty_df(
+        spark,
+        StructType.fromDDL(
+            "user_id long, event_type string, value double, lsn long, op string"
+        ),
+    )
+    state = merge_apply_versioned(snap, newer, key_cols=keys)
+    state = merge_apply_versioned(state, older, key_cols=keys)
+    return state.select("user_id", "event_type", "lsn", "op", "value")
 
 
 def q_filter_range_in_events(spark, sf):
@@ -194,6 +226,33 @@ def q_salted_group_count(spark, sf):
 def q_normalize_documents(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", normalize_text_sql("text").alias("norm_text"))
+
+
+def q_clean_documents(spark, sf):
+    """P4 DocumentCleaner completion (round-2 verdict missing #1): empty-
+    line removal + repeated header/footer stripping across form-feed pages
+    (reference: ETL/batch_ecs/source/pipeline.py:43, Haystack
+    DocumentCleaner). Fixture texts are single-line, so the query builds a
+    deterministic 2-page document per row — repeated header (2 lines, one
+    empty), distinct bodies and page markers, repeated 1-line footer — and
+    cleans it; the DuckDB oracle constructs the identical pages."""
+    docs = _t(spark, sf, "documents")
+    paged = F.concat_ws(
+        "\f",
+        F.concat_ws(
+            "\n", F.lit("CONFIDENTIAL REPORT"), F.lit(""), F.col("text"),
+            F.lit("page 1"), F.lit("(c) corp"),
+        ),
+        F.concat_ws(
+            "\n", F.lit("CONFIDENTIAL REPORT"), F.lit(""),
+            F.substring(F.col("text"), 1, 60),
+            F.lit("page 2"), F.lit("(c) corp"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        clean_document(paged, remove_repeated_header_footer=True).alias("cleaned"),
+    )
 
 
 def q_token_chunks_documents(spark, sf):
@@ -765,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_dedup_events": q_lww_dedup_events,
         "merge_upsert_events": q_merge_upsert_events,
+        "merge_versioned_events": q_merge_versioned_events,
         "filter_range_in_events": q_filter_range_in_events,
         "topk_events": q_topk_events,
         "union_dedup_events": q_union_dedup_events,
@@ -773,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_nation": q_join_orders_nation,
         "salted_group_count": q_salted_group_count,
         "normalize_documents": q_normalize_documents,
+        "clean_documents": q_clean_documents,
         "token_chunks_documents": q_token_chunks_documents,
         "token_count_documents": q_token_count_documents,
         "quality_documents": q_quality_documents,
@@ -829,6 +890,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id, event_type ORDER BY event_id DESC) = 1
+        """,
+        "merge_versioned_events": """
+            WITH c AS (
+                SELECT event_id AS lsn,
+                       CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+                       user_id, event_type, value
+                FROM events
+            )
+            SELECT user_id, event_type, lsn, op,
+                   CASE WHEN op = 'D' THEN NULL ELSE value END AS value
+            FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY lsn DESC) = 1
         """,
         "filter_range_in_events": """
             SELECT event_id, user_id, event_type, value FROM events
@@ -998,8 +1072,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             y AS (
                 SELECT user_id, ts,
-                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
                 FROM x
             )
             SELECT user_id, session_idx, count(*) AS n_events,
@@ -1220,12 +1294,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_topk_embeddings": _ivf_oracle(),
         "embedding_near_dup": ot.embedding_near_dup_sql(
-            make_planes(64, 4), 0.4, 64
+            make_planes(64, 4), 0.4, 64,
+            max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
         ),
         "minhash_near_dup_documents": ot.minhash_pairs_sql(
-            shingle_n=3, k=16, bands=4, seed=7, jaccard_threshold=0.5
+            shingle_n=3, k=16, bands=4, seed=7, jaccard_threshold=0.5,
+            max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
         ),
         "simhash_documents": ot.simhash_sql(bits=32),
+        "clean_documents": ot.clean_document_sql(
+            # identical page construction to q_clean_documents (concat_ws
+            # skips NULL args on both engines; substr is char-based on both)
+            "concat_ws(chr(12), "
+            "concat_ws(chr(10), 'CONFIDENTIAL REPORT', '', text, "
+            "'page 1', '(c) corp'), "
+            "concat_ws(chr(10), 'CONFIDENTIAL REPORT', '', "
+            "substr(text, 1, 60), 'page 2', '(c) corp'))"
+        ),
         "hybrid_search_documents": ot.hybrid_search_sql(
             _HH_QUERY, k_final=20, per_k=25
         ),

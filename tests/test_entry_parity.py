@@ -33,18 +33,56 @@ def ddb():
     return con
 
 
+def _cell(v) -> str:
+    """Stringify one cell the way an exact value hash would: int64 0 and
+    float64 0.0 must NOT collide (that distinction is exactly what the
+    driver's hash catches and what round 2's lenient rtol compare masked).
+    """
+    import datetime as _dt
+    import math
+
+    import numpy as np
+
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "∅"
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        # Driver-observed behavior (CORRECTNESS_r02: date_arith_orders,
+        # daily_counts_events green): a Spark DATE (datetime.date via
+        # toPandas) and DuckDB's midnight datetime64 (fetchdf renders DATE
+        # as timestamp) hash equal — unify midnight timestamps with dates.
+        ns = getattr(v, "nanosecond", 0)
+        if (v.hour, v.minute, v.second, v.microsecond, ns) == (0, 0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return str(v)
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype(str)
-        elif df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-        elif str(df[c].dtype) in ("Int32", "Int64", "int32"):
-            df[c] = df[c].astype("float64")  # unify nullable int reprs
-    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    """Driver-faithful canonical form: columns sorted by name, every cell
+    exactly stringified (no dtype unification, no rounding, no rtol), rows
+    sorted by the stringified tuple. A dtype-representation divergence the
+    driver's exact hash would catch fails here too.
+    """
+    df = df[sorted(df.columns)]
+    out = pd.DataFrame({c: [_cell(v) for v in df[c]] for c in df.columns})
+    return out.sort_values(list(out.columns), kind="stable").reset_index(drop=True)
 
 
 ORACLED = sorted(entrymod.oracle_sql().keys())
@@ -68,7 +106,7 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     a, b = _canon(spark_pdf), _canon(duck_pdf)
     try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
     except AssertionError as e:
         raise AssertionError(f"{name}: value mismatch\n{e}\nspark:\n{a.head()}\noracle:\n{b.head()}") from e
 

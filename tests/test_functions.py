@@ -301,8 +301,11 @@ def test_minhash_max_bucket_size_drops_stopword_buckets(spark):
     rows += [(100 + i, common) for i in range(30)]  # one mega-bucket
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
+    # default cap (DEFAULT_MAX_BUCKET_SIZE) is far above this bucket; None
+    # is the explicit opt-out and must behave identically here
     uncapped = minhash_near_dup_pairs(
-        df, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.4
+        df, "text", "doc_id", k=32, bands=8, jaccard_threshold=0.4,
+        max_bucket_size=None,
     )
     got_all = {(r.id_a, r.id_b) for r in uncapped.collect()}
     assert (1, 2) in got_all
@@ -315,3 +318,71 @@ def test_minhash_max_bucket_size_drops_stopword_buckets(spark):
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (1, 2) in got
     assert all(a < 100 and b < 100 for a, b in got)
+
+
+def test_bucket_pairs_cap_is_on_by_default(spark):
+    """The too-common-bucket guard defaults ON: a bucket hotter than
+    DEFAULT_MAX_BUCKET_SIZE emits zero pairs unless the caller explicitly
+    opts out with max_bucket_size=None."""
+    from pyspark.sql import functions as F
+
+    from transcript_cdc.functions.dedup_text import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        _bucket_pairs,
+    )
+
+    n = DEFAULT_MAX_BUCKET_SIZE + 1
+    banded = spark.range(n).select(
+        F.lit(1).alias("bucket"), F.col("id")
+    )
+    assert _bucket_pairs(banded, ["id"]).count() == 0
+    small = spark.range(3).select(F.lit(1).alias("bucket"), F.col("id"))
+    assert _bucket_pairs(small, ["id"]).count() == 3  # 3 choose 2
+    assert (
+        _bucket_pairs(banded, ["id"], max_bucket_size=None).count()
+        == n * (n - 1) // 2
+    )
+
+
+def test_clean_document_empty_lines_and_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    from transcript_cdc.functions.normalize import clean_document
+
+    df = spark.createDataFrame(
+        [("a\n\n  \nb  c\td",), ("  x  ",), (None,)], "t string"
+    )
+    got = [r[0] for r in df.select(clean_document("t")).collect()]
+    # empty lines dropped, then 2+ whitespace runs collapse (the \s\s+
+    # rule): the single newline and the single tab survive
+    assert got == ["a\nb c\td", "x", None]
+
+
+def test_clean_document_header_footer(spark):
+    from pyspark.sql import functions as F
+
+    from transcript_cdc.functions.normalize import clean_document
+
+    pages = "\f".join(
+        [
+            "HDR\n\nbody one\npage 1\nFTR",
+            "HDR\n\nbody two longer\npage 2\nFTR",
+            "HDR\n\nbody three\npage 3\nFTR",
+        ]
+    )
+    single = "HDR\nonly page\nFTR"
+    df = spark.createDataFrame([(pages,), (single,)], "t string")
+    got = [
+        r[0]
+        for r in df.select(
+            clean_document(
+                "t", remove_repeated_header_footer=True,
+                remove_extra_whitespaces=False, remove_empty_lines=False,
+            )
+        ).collect()
+    ]
+    # repeated header (HDR + empty line) and footer (FTR) stripped from
+    # every page; distinct page markers survive
+    assert got[0] == "body one\npage 1\fbody two longer\npage 2\fbody three\npage 3"
+    # single page: untouched (no cross-page repetition evidence)
+    assert got[1] == single

@@ -234,6 +234,17 @@ def test_resolved_read_column_projection(spark, mor_job):
     )
     assert narrow == full and len(narrow) > 0
 
+    # the caller's REQUESTED order wins, not table-schema order — the COW
+    # path (df.select) and the non-local fold already honor it, so the
+    # local fold must agree or final_state(columns=...) would return
+    # storage-mode-dependent column orders
+    reordered = ["text", "conv_id", "turn_idx"]
+    assert t.read_resolved(spark, columns=reordered).columns == reordered
+    assert (
+        t.read_resolved(spark, columns=reordered, local_fold=False).columns
+        == reordered
+    )
+
     # projecting an EVOLVED column: older files lack it entirely, so the
     # pruned read must intersect with each file's own schema and null-pad
     evolved = [f.name for f in t.current_schema().fields

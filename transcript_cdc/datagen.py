@@ -272,31 +272,20 @@ def _normalize_series_arrow(s: pd.Series) -> pd.Series:
 
     ZWSP removal + whitespace collapse + trim run as Arrow C++ kernels over
     the whole column; NFC falls back to stdlib ``unicodedata`` on the
-    non-ASCII residue only (pyarrow 16's ``utf8_normalize(form="NFC")``
-    returns *decomposed* text, so it can't be used). Two deliberate
-    deviations from ``normalize_text_py``, both validated by the
-    frame-equality pin in tests/test_datagen_fast.py on generated streams:
-
-    - RE2's ``\\s`` is ASCII-only while ``str.split()`` splits on Unicode
-      whitespace (the mess inventory includes NBSP), so the collapse class
-      spells out Python's whitespace set explicitly.
-    - NFC runs after collapse instead of before; the two orders agree
-      unless whitespace removal creates a new base+combining adjacency,
-      which the generator never does (combining marks are space-bounded).
+    non-ASCII values only (pyarrow 16's ``utf8_normalize(form="NFC")``
+    returns *decomposed* text, so it can't be used). Operation order is
+    EXACTLY normalize_text_py's — NFC, then ZWSP removal, then collapse +
+    trim — so the twin is valid for arbitrary feeds, not just the seeded
+    generator (an earlier draft ran NFC after collapse, which diverges
+    when whitespace removal creates a new base+combining adjacency). The
+    one remaining spelled-out equivalence: RE2's ``\\s`` is ASCII-only
+    while ``str.split()`` splits on Unicode whitespace, so the collapse
+    class enumerates Python's whitespace set explicitly (character-class
+    equality, not an ordering assumption).
     """
     import pyarrow.compute as pc
 
-    # Python str.split() whitespace, spelled for RE2: ASCII \\s (which in
-    # RE2 lacks vertical tab — added explicitly), the C0 separators, NEL,
-    # NBSP, and the Unicode space blocks.
-    ws = (
-        r"[\s\x0b\x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
-        r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
-    )
     a = pa.array(s, type=pa.string())
-    a = pc.replace_substring(a, pattern="​", replacement="")
-    a = pc.replace_substring_regex(a, pattern=ws, replacement=" ")
-    a = pc.utf8_trim_whitespace(a)
     vals = a.to_numpy(zero_copy_only=False)
     out = np.empty(len(vals), dtype=object)
     for i, t in enumerate(vals):
@@ -306,7 +295,20 @@ def _normalize_series_arrow(s: pd.Series) -> pd.Series:
             out[i] = t
         else:
             out[i] = unicodedata.normalize("NFC", t)
-    return pd.Series(out, index=s.index)
+    # Python str.split() whitespace, spelled for RE2: ASCII \\s (which in
+    # RE2 lacks vertical tab — added explicitly), the C0 separators, NEL,
+    # NBSP, and the Unicode space blocks.
+    ws = (
+        r"[\s\x0b\x1c-\x1f\x85\xa0\x{1680}\x{2000}-\x{200a}"
+        r"\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]+"
+    )
+    a = pa.array(out, type=pa.string())
+    a = pc.replace_substring(a, pattern="​", replacement="")
+    a = pc.replace_substring_regex(a, pattern=ws, replacement=" ")
+    a = pc.utf8_trim_whitespace(a)
+    return pd.Series(
+        a.to_numpy(zero_copy_only=False), index=s.index, dtype=object
+    )
 
 
 def replay_oracle_fast(df: pd.DataFrame, normalize: bool = True) -> pd.DataFrame:

@@ -122,8 +122,17 @@ def lsh_band_buckets(
     return F.array(*[bucket(b) for b in range(bands)])
 
 
+# Corpus-scale default for the too-common-bucket guard: a full bucket of
+# 1000 members emits at most ~500k pairs — bounded work per bucket. A
+# bucket hotter than this is a stopword-shaped signature carrying no dedup
+# signal (pass None to explicitly opt out, e.g. for small-corpus exactness).
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
 def _bucket_pairs(
-    banded: DataFrame, payload_cols: list[str], max_bucket_size: int | None = None
+    banded: DataFrame,
+    payload_cols: list[str],
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Intra-bucket candidate pairs: groupBy bucket, sort members by the
     leading payload column (the id), emit each (m[i], m[j]) with i < j.
@@ -131,31 +140,21 @@ def _bucket_pairs(
     One shuffle, and the upstream signature pipeline is evaluated ONCE —
     the self-join alternative recomputes it on both sides and shuffle-
     writes the banded rows twice (measured 5.6s → 2.9s on the sf0.1
-    minhash query). Pair count per bucket is |m|·(|m|−1)/2 — the same
-    quadratic term the join had; collect_list additionally requires one
-    bucket's members to fit in executor memory, which is the LSH operating
-    regime anyway. ``max_bucket_size`` is the corpus-scale guard: buckets
-    hotter than the cap are dropped whole (the standard "too-common
-    bucket" rule — a bucket shared by 10^5 documents is a stopword-shaped
-    signature carrying no dedup signal, and its 10^10 pairs would be
-    unusable under ANY plan). Returns struct columns a, b with a.id < b.id.
+    minhash query). Pair generation is two chained generators: posexplode
+    the member array, then explode each member's strictly-later slice —
+    so the largest single value ever materialized is ONE bucket's member
+    array (O(m·payload)), never the O(m²·payload) flattened pair array a
+    single-explode shape would build; pair rows stream through the second
+    generator. Pair count per bucket is still |m|·(|m|−1)/2, which is why
+    ``max_bucket_size`` (default :data:`DEFAULT_MAX_BUCKET_SIZE`) drops
+    buckets hotter than the cap whole — the standard "too-common bucket"
+    rule: a bucket shared by 10^5 documents is a stopword-shaped signature
+    carrying no dedup signal, and its 10^10 pairs would be unusable under
+    ANY plan. Returns struct columns a, b with a.id < b.id.
     """
     id_field = payload_cols[0]
     ms = F.array_sort(
         F.collect_list(F.struct(*[F.col(c) for c in payload_cols]))
-    )
-    pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        ),
-        # same doc can land in one bucket via two different bands
-        lambda p: p["a"][id_field] != p["b"][id_field],
     )
     grouped = (
         # null bucket = unhashable row (null text/embedding). The former
@@ -168,7 +167,18 @@ def _bucket_pairs(
     )
     if max_bucket_size is not None:
         grouped = grouped.filter(F.size("ms") <= max_bucket_size)
-    return grouped.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    left = grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+    return (
+        left.select(
+            "a",
+            F.explode(
+                F.slice(F.col("ms"), F.col("i") + F.lit(2), F.size("ms"))
+            ).alias("b"),
+        )
+        # same doc can land in one bucket via two different bands
+        .filter(F.col("a")[id_field] != F.col("b")[id_field])
+        .select("a", "b")
+    )
 
 
 def minhash_near_dup_pairs(

@@ -134,25 +134,110 @@ def ivf_topk_sql(
 def embedding_near_dup_sql(
     planes: Sequence[Sequence[float]], cosine_threshold: float, dim: int,
     table: str = "embeddings", id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> str:
     """Twin of dedup_text.embedding_near_dup_pairs: hyperplane-bucketed
-    self-join, exact double-precision cosine within buckets."""
+    self-join, exact double-precision cosine within buckets. Pass the same
+    ``max_bucket_size`` as the Spark query (too-common-bucket guard,
+    mirrored as a window-count QUALIFY)."""
     cos = (
         f"{pair_dot_sql('a.v', 'b.v', dim)} / "
         f"({norm_sql('a.v', dim)} * {norm_sql('b.v', dim)})"
     )
+    cap = (
+        f"QUALIFY count(*) OVER (PARTITION BY bucket) <= {int(max_bucket_size)}"
+        if max_bucket_size is not None else ""
+    )
     return f"""
         WITH s AS (
-            SELECT {id_col} AS id,
-                   list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
-                   {hyperplane_sig_sql(vec_col, planes)} AS bucket
-            FROM {table}
+            SELECT * FROM (
+                SELECT {id_col} AS id,
+                       list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS v,
+                       {hyperplane_sig_sql(vec_col, planes)} AS bucket
+                FROM {table}
+            )
+            {cap}
         )
         SELECT id_a, id_b, round(cos, 6) AS cos FROM (
             SELECT a.id AS id_a, b.id AS id_b, {cos} AS cos
             FROM s a JOIN s b ON a.bucket = b.bucket AND a.id < b.id
         )
         WHERE cos >= {flit(cosine_threshold)}
+    """
+
+
+def clean_document_sql(
+    paged_expr: str, max_hf_lines: int = 3,
+    table: str = "documents", id_col: str = "doc_id",
+    out_col: str = "cleaned",
+) -> str:
+    """Twin of functions.normalize.clean_document(remove_repeated_header_
+    footer=True): strip up to ``max_hf_lines`` lines repeated at the start/
+    end of every form-feed page, drop empty lines, collapse 2+ whitespace
+    runs, trim. ``paged_expr`` is the SQL expression producing the paged
+    text (the driver query constructs it identically on both engines).
+
+    Index mapping: Spark's 0-based ``get(ls, j)`` is DuckDB's 1-based
+    ``ls[j+1]``; Spark's ``get(ls, size-1-j)`` is ``ls[len(ls)-j]``. Out-
+    of-bounds yields NULL on both; ``coalesce(=, false)`` matches Spark's
+    null-equality handling inside forall."""
+
+    def ch(j: int) -> str:
+        ref = f"lines[1][{j + 1}]"
+        return (
+            f"({ref} IS NOT NULL AND list_aggregate(list_transform(lines, "
+            f"ls -> coalesce(ls[{j + 1}] = {ref}, false)), 'bool_and'))"
+        )
+
+    def cf(j: int) -> str:
+        ref = f"lines[1][len(lines[1])-{j}]"
+        return (
+            f"({ref} IS NOT NULL AND list_aggregate(list_transform(lines, "
+            f"ls -> coalesce(ls[len(ls)-{j}] = {ref}, false)), 'bool_and'))"
+        )
+
+    def run_case(terms: list[str]) -> str:
+        whens = " ".join(
+            f"WHEN NOT {t} THEN {j}" for j, t in enumerate(terms)
+        )
+        return f"CASE {whens} ELSE {len(terms)} END"
+
+    h_case = run_case([ch(j) for j in range(max_hf_lines)])
+    f_case = run_case([cf(j) for j in range(max_hf_lines)])
+    return f"""
+        WITH src AS (
+            SELECT {id_col}, {paged_expr} AS t FROM {table}
+        ),
+        pg AS (
+            SELECT {id_col}, t, string_split(t, chr(12)) AS pages FROM src
+        ),
+        ln AS (
+            SELECT {id_col}, t, pages,
+                   list_transform(pages, p -> string_split(p, chr(10))) AS lines
+            FROM pg
+        ),
+        hf AS (
+            SELECT {id_col}, t, pages, lines,
+                   {h_case} AS h, {f_case} AS f
+            FROM ln
+        ),
+        stripped AS (
+            SELECT {id_col},
+                   CASE WHEN len(pages) < 2 THEN t
+                        ELSE array_to_string(list_transform(lines,
+                             ls -> array_to_string(ls[h+1:len(ls)-f], chr(10))),
+                             chr(12))
+                   END AS t
+            FROM hf
+        ),
+        noempty AS (
+            SELECT {id_col},
+                   array_to_string(list_filter(string_split(t, chr(10)),
+                                               l -> trim(l) <> ''), chr(10)) AS t
+            FROM stripped
+        )
+        SELECT {id_col}, trim(regexp_replace(t, '\\s\\s+', ' ', 'g')) AS {out_col}
+        FROM noempty
     """
 
 
@@ -173,10 +258,13 @@ def _shingle_hash_sql(n: int) -> str:
 def minhash_pairs_sql(
     shingle_n: int, k: int, bands: int, seed: int, jaccard_threshold: float,
     table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> str:
     """Twin of dedup_text.minhash_near_dup_pairs(hash_fn='md5'): shingle →
     K affine-permuted minhashes (same seeded coefficients) → LSH band
-    buckets → bucketed self-join → estimated-Jaccard threshold."""
+    buckets → bucketed self-join → estimated-Jaccard threshold. Pass the
+    same ``max_bucket_size`` as the Spark query (too-common-bucket guard,
+    mirrored as a window-count QUALIFY on the banded CTE)."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -213,7 +301,10 @@ def minhash_pairs_sql(
             FROM t
         ),
         g AS (SELECT id, [{mins}] AS sig FROM s),
-        bd AS (SELECT id, sig, unnest([{buckets}]) AS bucket FROM g),
+        bd AS (
+            SELECT * FROM (SELECT id, sig, unnest([{buckets}]) AS bucket FROM g)
+            {"QUALIFY count(*) OVER (PARTITION BY bucket) <= %d" % int(max_bucket_size) if max_bucket_size is not None else ""}
+        ),
         p AS (
             SELECT a.id AS id_a, b2.id AS id_b,
                    {eq_count} / {float(k)!r} AS est_jaccard

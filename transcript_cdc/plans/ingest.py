@@ -224,6 +224,15 @@ class CdcIngestJob:
         new_state = salted_repartition(
             observed, [BUCKET_COL], salt, num_partitions=self.cfg.write_partitions
         )
+        # Key-sort within write tasks (no extra shuffle): every delta file
+        # lands (key..., lsn)-sorted like the compacted bases, so the
+        # ranged MOR fold's per-key-range reads prune row groups instead
+        # of rescanning the chain, and files_for_key point-read stats stay
+        # tight. Leading BUCKET_COL keeps the dynamic-partition writer's
+        # required ordering satisfied (no second sort in the plan).
+        new_state = new_state.sortWithinPartitions(
+            BUCKET_COL, *self.table.key_cols, schemas.LSN_COL
+        )
         metrics = {
             "storage": "mor",
             "heavy_hitters": hh[:5],

@@ -52,7 +52,78 @@ from transcript_cdc import schemas
 BUCKET_COL = "__bucket"
 
 
-def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None):
+# Per-task memory budget for the MOR fold (uncompressed bytes). Chains
+# larger than this are folded as a sequence of KEY-RANGE slices (and split
+# across shard tasks by the read planner), so peak memory per task is
+# O(budget), never O(bucket). None opts out (single concat+sort fold).
+DEFAULT_MAX_FOLD_BYTES = 256 << 20
+
+
+def _plan_key_ranges(files, key_col, max_bytes):
+    """Split a delta chain's key space into ~``max_bytes``-sized
+    (uncompressed) ranges from the files' row-group footer stats on
+    ``key_col``. Returns ``[(lo_exclusive, hi_inclusive)]`` with None as
+    ±infinity; ``[(None, None)]`` when the chain fits the budget or stats
+    are unavailable.
+
+    Correctness never depends on the cuts: ranges partition the key VALUE
+    space, so every key's whole delta chain lands in exactly one range and
+    the per-range LWW fold sees all of it. Stats only decide where cuts
+    fall; files written key-sorted (deltas are — plans/ingest sorts within
+    partitions; compacted bases too) make each range's read row-group-
+    prunable, so a range costs O(range) IO, not O(chain). Footer-only
+    metadata reads, deterministic — every shard task derives the same list.
+    """
+    import pyarrow.parquet as _pq
+
+    entries: list[tuple[object, int]] = []  # (row-group max key, bytes)
+    total = 0
+    for f in files:
+        try:
+            md = _pq.read_metadata(f)
+        except Exception:
+            return [(None, None)]
+        if md.num_row_groups == 0:
+            continue
+        idx = None
+        for i in range(md.row_group(0).num_columns):
+            if md.row_group(0).column(i).path_in_schema == key_col:
+                idx = i
+                break
+        if idx is None:
+            return [(None, None)]
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            st = g.column(idx).statistics
+            if st is None or not st.has_min_max:
+                return [(None, None)]
+            total += g.total_byte_size
+            entries.append((st.max, g.total_byte_size))
+    if total <= max_bytes or len(entries) < 2:
+        return [(None, None)]
+    entries.sort(key=lambda e: e[0])
+    cuts: list[object] = []
+    acc = 0
+    for mx, b in entries:
+        acc += b
+        if acc > max_bytes and (not cuts or mx > cuts[-1]):
+            cuts.append(mx)
+            acc = 0
+    # a cut at the global max is redundant — the trailing (lo, None)
+    # range covers it
+    if cuts and cuts[-1] >= entries[-1][0]:
+        cuts.pop()
+    ranges: list[tuple[object, object]] = []
+    lo = None
+    for c in cuts:
+        ranges.append((lo, c))
+        lo = c
+    ranges.append((lo, None))
+    return ranges
+
+
+def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None,
+                    key_range=None):
     """Pure-Arrow last-writer-wins fold of a delta-file chain (worker-side).
 
     Reads each file, null-pads columns the older files lack (additive
@@ -75,20 +146,38 @@ def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None):
     into the parquet read as a row-group predicate, so key-sorted files
     (compacted bases are written key-sorted by this very fold) skip
     untouched row groups' IO entirely — the changelog's base-side gate.
+
+    ``key_range``: optional (lo_exclusive, hi_inclusive) on the FIRST key
+    column (None = unbounded) — the ranged-fold slice (_plan_key_ranges).
+    Sound for LWW for the same reason as key_filter; pushed down as a
+    row-group predicate and re-applied as an in-memory mask.
     """
     import pyarrow as _pa
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
+    if key_range is not None and key_range == (None, None):
+        key_range = None
     read_kw = {}
-    if key_filter:
-        first = next(iter(key_filter))
-        try:
-            import pyarrow.dataset as _ds
+    expr = None
+    try:
+        import pyarrow.dataset as _ds
 
-            read_kw["filters"] = _ds.field(first).isin(key_filter[first])
-        except Exception:  # pragma: no cover — older pyarrow: in-memory only
-            pass
+        if key_filter:
+            first = next(iter(key_filter))
+            expr = _ds.field(first).isin(key_filter[first])
+        if key_range is not None:
+            lo, hi = key_range
+            if lo is not None:
+                e = _ds.field(key_cols[0]) > lo
+                expr = e if expr is None else expr & e
+            if hi is not None:
+                e = _ds.field(key_cols[0]) <= hi
+                expr = e if expr is None else expr & e
+    except Exception:  # pragma: no cover — older pyarrow: in-memory only
+        expr = None
+    if expr is not None:
+        read_kw["filters"] = expr
 
     want = [f.name for f in target]
     tabs = []
@@ -101,6 +190,17 @@ def _arrow_lww_fold(files, target, key_cols, lsn_col, key_filter=None):
                 m = _pc.is_in(t[c], value_set=vals)
                 mask = m if mask is None else _pc.and_(mask, m)
             t = t.filter(mask)
+        if key_range is not None:
+            lo, hi = key_range
+            col = t[key_cols[0]]
+            mask = None
+            if lo is not None:
+                mask = _pc.greater(col, lo)
+            if hi is not None:
+                m = _pc.less_equal(col, hi)
+                mask = m if mask is None else _pc.and_(mask, m)
+            if mask is not None:
+                t = t.filter(mask)
         arrays = []
         for fld in target:
             if t.schema.get_field_index(fld.name) >= 0:
@@ -274,14 +374,17 @@ class ParquetSnapshotTable:
             m = self.read_manifest(epoch)
             if m.get("replace_all"):
                 # re-bucket rewrite: the whole table moves to a new bucket
-                # id space — nothing from the old layout carries forward
-                buckets = dict(m["buckets"])
+                # id space — nothing from the old layout carries forward.
+                # Copy the lists: the manifest dict is cached, and handing
+                # its list objects to callers would let a caller mutation
+                # silently corrupt the per-table cache.
+                buckets = {b: list(files) for b, files in m["buckets"].items()}
             elif m.get("append"):
                 for b, files in m["buckets"].items():
                     buckets[b] = buckets.get(b, []) + files
             else:
                 for b, files in m["buckets"].items():
-                    buckets[b] = files
+                    buckets[b] = list(files)
             if m.get("schema"):
                 schema = T.StructType.fromJson(json.loads(m["schema"]))
         return buckets, schema
@@ -840,6 +943,7 @@ class MergeOnReadTable(ParquetSnapshotTable):
         op_col: str = "op",
         local_fold: bool = True,
         columns: Sequence[str] | None = None,
+        max_fold_bytes: int | None = DEFAULT_MAX_FOLD_BYTES,
     ) -> DataFrame:
         """Scan delta chains and fold to current state: LWW by lsn per key,
         tombstones dropped. ``columns`` projects the output and (on the
@@ -856,12 +960,18 @@ class MergeOnReadTable(ParquetSnapshotTable):
         (round-1 verdict: the window fold's full-table exchange per
         resolved read was the MOR scale-killer).
 
+        ``max_fold_bytes`` bounds a fold task's peak memory: a chain larger
+        than the budget (uncompressed, from manifest/footers) is split into
+        key-range slices folded sequentially, and oversized buckets fan out
+        across shard tasks (parallelism above n_buckets) — see
+        _plan_key_ranges. None opts out (whole-chain concat+sort).
+
         ``local_fold=False`` keeps the declarative single-window fold
         (useful as a cross-check; equality is asserted in tests)."""
         if local_fold:
             return self._read_resolved_local(
                 spark, buckets, as_of_epoch, with_version_cols, lsn_col, op_col,
-                columns=columns,
+                columns=columns, max_fold_bytes=max_fold_bytes,
             )
         from pyspark.sql import Window
 
@@ -890,6 +1000,7 @@ class MergeOnReadTable(ParquetSnapshotTable):
         files_override: Sequence[str] | None = None,
         key_values: Sequence | None = None,
         columns: Sequence[str] | None = None,
+        max_fold_bytes: int | None = DEFAULT_MAX_FOLD_BYTES,
     ) -> DataFrame:
         """The zero-shuffle fold behind read_resolved (see its docstring).
 
@@ -910,18 +1021,47 @@ class MergeOnReadTable(ParquetSnapshotTable):
             )
         state, schema = self._current_state(as_of_epoch)
         wanted = None if buckets is None else {str(int(b)) for b in buckets}
+        # Point reads (files_override/key_values) are tiny by construction:
+        # skip range planning entirely.
+        ranged = max_fold_bytes is not None and files_override is None
+        stats = self._fold_stats(as_of_epoch) if ranged else {}
+
+        def _chain_bytes(rel_files: list[str]) -> int:
+            tot = 0
+            for r in rel_files:
+                b = (stats.get(r) or {}).get("bytes")
+                if b is None:
+                    # pre-"bytes" manifests: file size (compressed) is a
+                    # conservative under-estimate; the worker-side ranged
+                    # fold still bounds memory via its own footer reads
+                    try:
+                        b = os.path.getsize(os.path.join(self.root, r))
+                    except OSError:
+                        b = 0
+                tot += int(b)
+            return tot
+
+        def _n_shards(rel_files: list[str]) -> int:
+            if not ranged:
+                return 1
+            return max(
+                1, min(64, -(-_chain_bytes(rel_files) // int(max_fold_bytes)))
+            )
+
         if files_override is not None:
             only = int(list(buckets)[0]) if buckets else 0
             items = (
-                [(only, [os.path.join(self.root, f) for f in files_override])]
+                [(only, [os.path.join(self.root, f) for f in files_override], 0, 1)]
                 if files_override
                 else []
             )
         else:
             items = [
-                (int(b), [os.path.join(self.root, f) for f in files])
+                (int(b), [os.path.join(self.root, f) for f in files], shard, n)
                 for b, files in state.items()
                 if files and (wanted is None or b in wanted)
+                for n in (_n_shards(files),)
+                for shard in range(n)
             ]
         out_fields = [
             f
@@ -929,12 +1069,13 @@ class MergeOnReadTable(ParquetSnapshotTable):
             if with_version_cols or f.name not in (lsn_col, op_col)
         ]
         if columns is not None:
-            known = {f.name for f in out_fields}
-            unknown = [c for c in columns if c not in known]
+            by_name = {f.name: f for f in out_fields}
+            unknown = [c for c in columns if c not in by_name]
             if unknown:
                 raise ValueError(f"unknown columns for resolved read: {unknown}")
-            keep = set(columns)
-            out_fields = [f for f in out_fields if f.name in keep]
+            # honor the caller's requested order (the COW path selects
+            # df.select(*columns) — both storage modes must agree)
+            out_fields = [by_name[c] for c in columns]
         out_schema = T.StructType(out_fields)
         if not items:
             return empty_df(spark, out_schema)
@@ -949,6 +1090,7 @@ class MergeOnReadTable(ParquetSnapshotTable):
         arrow_schema_json = fold_schema.json()
         gate_col = self.meta["bucket_by"] if key_values is not None else None
         gate_vals = list(key_values) if key_values is not None else None
+        fold_budget = int(max_fold_bytes) if ranged else None
 
         def fold(batches):
             """Pure-Arrow LWW fold (mapInArrow): no pandas round trip —
@@ -965,23 +1107,41 @@ class MergeOnReadTable(ParquetSnapshotTable):
             target = to_arrow_schema(_St.fromJson(_json.loads(arrow_schema_json)))
             kf = {gate_col: _pa.array(gate_vals)} if gate_col else None
             for rb in batches:
-                for files in rb.column("files").to_pylist():
-                    full = _arrow_lww_fold(
-                        files, target, key_cols, lsn_col, key_filter=kf
-                    )
-                    if full.num_rows == 0:
-                        continue
-                    if drop_tombstones:
-                        full = full.filter(
-                            _pc.not_equal(full[op_col], _pa.scalar("D"))
+                for files, shard, n in zip(
+                    rb.column("files").to_pylist(),
+                    rb.column("shard").to_pylist(),
+                    rb.column("n_shards").to_pylist(),
+                ):
+                    # budget-bounded fold: slice the chain's key space into
+                    # ~max_fold_bytes ranges; this task folds ranges
+                    # shard::n SEQUENTIALLY (peak memory = one range), and
+                    # sibling shard tasks take the rest (parallelism above
+                    # n_buckets for hot buckets). Deterministic: every
+                    # shard derives the same range list from the footers.
+                    if fold_budget is not None:
+                        ranges = _plan_key_ranges(files, key_cols[0], fold_budget)
+                        if n > 1:
+                            ranges = ranges[shard::n]
+                    else:
+                        ranges = [(None, None)]
+                    for key_range in ranges:
+                        full = _arrow_lww_fold(
+                            files, target, key_cols, lsn_col, key_filter=kf,
+                            key_range=key_range,
                         )
-                    for ob in full.select(out_cols).to_batches():
-                        if ob.num_rows:
-                            yield ob
+                        if full.num_rows == 0:
+                            continue
+                        if drop_tombstones:
+                            full = full.filter(
+                                _pc.not_equal(full[op_col], _pa.scalar("D"))
+                            )
+                        for ob in full.select(out_cols).to_batches():
+                            if ob.num_rows:
+                                yield ob
 
         files_df = spark.createDataFrame(
-            items, "bucket int, files array<string>"
-        ).repartition(max(len(items), 1), F.col("bucket"))
+            items, "bucket int, files array<string>, shard int, n_shards int"
+        ).repartition(max(len(items), 1), F.col("bucket"), F.col("shard"))
         return files_df.mapInArrow(fold, schema=out_schema)
 
     def read_conversation(
@@ -1270,27 +1430,33 @@ def _parquet_key_stats(path: str, key_col: str) -> dict:
     try:
         md = pq.read_metadata(path)
     except Exception:
-        return {"min_key": None, "max_key": None, "rows": None}
+        return {"min_key": None, "max_key": None, "rows": None, "bytes": None}
     rows = md.num_rows
+    # uncompressed bytes: the memory-relevant size the ranged fold plans
+    # against (task shard counts); falls back to None if unreadable
+    nbytes = sum(
+        md.row_group(rg).total_byte_size for rg in range(md.num_row_groups)
+    )
+    base = {"min_key": None, "max_key": None, "rows": rows, "bytes": nbytes}
     if md.num_row_groups == 0:
-        return {"min_key": None, "max_key": None, "rows": rows}
+        return base
     idx = None
     for i in range(md.row_group(0).num_columns):
         if md.row_group(0).column(i).path_in_schema == key_col:
             idx = i
             break
     if idx is None:
-        return {"min_key": None, "max_key": None, "rows": rows}
+        return base
     mins, maxs = [], []
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
-            return {"min_key": None, "max_key": None, "rows": rows}
+            return base
         mins.append(st.min)
         maxs.append(st.max)
     if not mins:
-        return {"min_key": None, "max_key": None, "rows": rows}
-    return {"min_key": min(mins), "max_key": max(maxs), "rows": rows}
+        return base
+    return {**base, "min_key": min(mins), "max_key": max(maxs)}
 
 
 def _atomic_write_json(path: str, obj: dict) -> None:
