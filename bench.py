@@ -278,6 +278,19 @@ def main() -> None:
         "cdc_mor": cdc_mor,
         "cpus": int(cpus),
     }
+    # Cross-round A/B (bench/ab.py — interleaved same-host comparison of
+    # this code vs the previous round's, the only decision-grade signal on
+    # this burst-throttled host). Embedded from its result file so the
+    # driver-recorded BENCH_r{N}.json carries it next to the absolute
+    # numbers; "head" identifies which working tree the A/B measured.
+    ab_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench", "ab_result.json")
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as f:
+                out["ab"] = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(out))
     spark.stop()
 

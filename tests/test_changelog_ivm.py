@@ -185,3 +185,72 @@ def test_ivm_empty_changelog_is_identity(spark, table):
     delta = changes_delta(empty, GROUP_DEFS, ["score"], key_cols=table.key_cols)
     merged = merge_agg_state(state, delta, ["bin"], ["score"])
     assert _canon(merged) == _canon(state)
+
+
+def test_changelog_tail_reseed_after_expired_history(spark, table):
+    """Catch-up across compaction + expiry (the T2 consumer story): a tail
+    whose cursor predates the expire() horizon gets ChangelogGap with the
+    reseed recourse; reseed() emits the full current state as insert rows
+    (null before-images, live lsn), after which per-epoch tailing resumes
+    and converges to the same replica state as a never-behind consumer."""
+    from transcript_cdc.streaming.changelog_tail import ChangelogGap, ChangelogTail
+
+    table.compact(spark)            # epoch 2: rewrite
+    table.expire()                  # drop pre-compaction snapshots
+    assert int(table.meta["expired_before"]) > 0
+
+    stale = ChangelogTail(spark, table, from_epoch=0)  # consumer left at 0
+    with pytest.raises(ChangelogGap, match="reseed"):
+        stale.poll()
+
+    epoch, seed = stale.reseed()
+    rows = {(r["conv_id"], r["turn_idx"]): r.asDict() for r in seed.collect()}
+    live = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in table.read_resolved(spark, with_version_cols=True).collect()
+    }
+    assert set(rows) == set(live) and len(rows) > 0
+    for k, r in rows.items():
+        assert r["change_type"] == "insert"
+        assert r["text_before"] is None and r["score_before"] is None
+        assert r["text_after"] == live[k]["text"]
+        assert r["lsn"] == live[k]["lsn"]
+    assert stale.cursor == epoch
+
+    # tailing resumes: a post-reseed append arrives as a normal diff
+    _commit(table, spark, 3, [("c7", 0, "g", 7.0, 30, "U")], 13, 30)
+    nxt = stale.poll()
+    assert [e for e, _ in nxt] == [3]
+    got = nxt[0][1].collect()
+    assert [r["change_type"] for r in got] == ["insert"]
+    assert got[0]["conv_id"] == "c7"
+
+
+def test_changelog_tail_auto_reseed_inline(spark, table):
+    from transcript_cdc.streaming.changelog_tail import ChangelogTail
+
+    table.compact(spark)
+    table.expire()
+    _commit(table, spark, 3, [("c8", 0, "h", 8.0, 31, "U")], 13, 31)
+    tail = ChangelogTail(spark, table, from_epoch=0, auto_reseed=True)
+    out = tail.poll()
+    # the reseed snapshots the LATEST state (epoch 3, so it already
+    # contains c8) and the cursor lands there — one tuple, all inserts
+    assert [e for e, _ in out] == [3]
+    seed = out[0][1]
+    assert seed.filter(F.col("change_type") != "insert").count() == 0
+    assert seed.filter(F.col("conv_id") == "c8").count() == 1
+    assert tail.cursor == 3
+
+
+def test_rewrite_gap_error_names_restart_epoch(spark, table):
+    from transcript_cdc.sources.lake import ChangelogRewriteGap
+
+    table.compact(spark)  # epoch 2: rewrite
+    _commit(table, spark, 3, [("c5", 0, "f", 6.0, 20, "U")], 13, 20)
+    with pytest.raises(ChangelogRewriteGap) as ei:
+        table.read_changes(spark, from_epoch=0).collect()
+    assert ei.value.restart_epoch == 2
+    # the documented recourse works: read from the rewrite epoch onward
+    rows = table.read_changes(spark, from_epoch=2, to_epoch=3).collect()
+    assert [r["change_type"] for r in rows] == ["insert"]

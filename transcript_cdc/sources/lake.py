@@ -52,6 +52,31 @@ from transcript_cdc import schemas
 BUCKET_COL = "__bucket"
 
 
+class ChangelogRewriteGap(ValueError):
+    """A changelog range crossed a rewrite (compaction/COW) commit — a
+    rewrite's file diff is reorganization, not logical change, so net
+    changes cannot be derived from its manifests (same restriction as
+    Iceberg's changelog scan).
+
+    Recourse (the documented catch-up path): either read per-epoch ranges
+    that stop before the rewrite and resume from it (``restart_epoch``),
+    or — when the consumer's cursor itself predates expired history —
+    reseed from the full resolved state (ChangelogTail.reseed emits it as
+    inserts) and tail from ``restart_epoch`` onward.
+    """
+
+    def __init__(self, rewrite_epoch: int, from_epoch: int):
+        self.rewrite_epoch = int(rewrite_epoch)
+        self.restart_epoch = int(rewrite_epoch)
+        super().__init__(
+            f"epoch {rewrite_epoch} is a rewrite (compaction/COW) commit — "
+            f"changelog ranges must contain only append commits. Read the "
+            f"range ({from_epoch}, {rewrite_epoch - 1}] first if needed, "
+            f"then restart from epoch {rewrite_epoch} (or reseed via "
+            f"ChangelogTail.reseed if that history is expired)"
+        )
+
+
 # Per-task memory budget for the MOR fold (uncompressed bytes). Chains
 # larger than this are folded as a sequence of KEY-RANGE slices (and split
 # across shard tasks by the read planner), so peak memory per task is
@@ -1227,14 +1252,14 @@ class MergeOnReadTable(ParquetSnapshotTable):
         if not in_range:
             return empty_df(spark, out_schema)
 
+        rewrites = [
+            e for e in in_range if not self.read_manifest(e).get("append")
+        ]
+        if rewrites:
+            raise ChangelogRewriteGap(rewrites[-1], in_range[0] - 1)
         range_files: dict[str, list[str]] = {}
         for e in in_range:
             m = self.read_manifest(e)
-            if not m.get("append"):
-                raise ValueError(
-                    f"epoch {e} is a rewrite (compaction/COW) commit — "
-                    "changelog ranges must contain only append commits"
-                )
             for b, fl in m["buckets"].items():
                 range_files[b] = range_files.get(b, []) + fl
         base_state = self._current_state(from_epoch)[0]

@@ -9,6 +9,16 @@ order, and silently advances past compaction/COW rewrite commits — a
 rewrite reorganizes files without logical change, and the post-rewrite
 base is exactly the state the next range diffs against.
 
+Catch-up across expired history (round-2 verdict "What's missing" #4): a
+consumer whose cursor predates ``expire()``'s horizon can no longer
+reconstruct per-epoch diffs — the base snapshot's files are gone. The
+documented recourse is :meth:`reseed`: one changelog-shaped DataFrame of
+the CURRENT resolved state as ``insert`` rows (before-images null), after
+which per-epoch tailing resumes. ``poll()`` surfaces the condition as
+:class:`ChangelogGap` (with the reseed hint) instead of a mid-fold file-
+not-found; construct with ``auto_reseed=True`` to have ``poll()`` emit
+the reseed inline as its first tuple.
+
 Driver-side work per poll is O(new manifests) JSON reads; the change
 DataFrames are lazy (bucket-local Arrow fold, zero data shuffle — see
 MergeOnReadTable.read_changes). The cursor is plain state: persist
@@ -19,18 +29,53 @@ MergeOnReadTable.read_changes). The cursor is plain state: persist
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ChangelogGap(RuntimeError):
+    """The tail's cursor predates expired history: per-epoch diffs from the
+    cursor are unreconstructable. Call :meth:`ChangelogTail.reseed` (full
+    state as inserts), then keep polling."""
+
+    def __init__(self, cursor: int, expired_before: int):
+        self.cursor = cursor
+        self.expired_before = expired_before
+        super().__init__(
+            f"changelog cursor {cursor} predates expired history (snapshots "
+            f"before epoch {expired_before} were removed by expire()) — call "
+            f"reseed() to emit the current state as inserts, then poll()"
+        )
 
 
 class ChangelogTail:
-    def __init__(self, spark: SparkSession, table, from_epoch: int = -1):
+    def __init__(
+        self,
+        spark: SparkSession,
+        table,
+        from_epoch: int = -1,
+        auto_reseed: bool = False,
+    ):
         self.spark = spark
         self.table = table
         self.cursor = from_epoch
+        self.auto_reseed = auto_reseed
+
+    def _gap(self) -> int | None:
+        """The expiry horizon if the cursor's base snapshot is gone."""
+        expired = int(self.table.meta.get("expired_before", -1))
+        return expired if self.cursor < expired else None
 
     def poll(self) -> list[tuple[int, DataFrame]]:
         """(epoch, net-changes DataFrame) for each append epoch committed
-        since the last poll; advances the cursor."""
+        since the last poll; advances the cursor. Raises
+        :class:`ChangelogGap` (or reseeds inline with ``auto_reseed``)
+        when the cursor predates expired history."""
         out: list[tuple[int, DataFrame]] = []
+        gap = self._gap()
+        if gap is not None:
+            if not self.auto_reseed:
+                raise ChangelogGap(self.cursor, gap)
+            out.append(self.reseed())
         for e in self.table.committed_epochs():
             if e <= self.cursor:
                 continue
@@ -45,3 +90,30 @@ class ChangelogTail:
                 )
             self.cursor = e
         return out
+
+    def reseed(self) -> tuple[int, DataFrame]:
+        """Catch-up past expired history: the LATEST resolved state as a
+        changelog-shaped DataFrame of ``insert`` rows (before-images null,
+        after-images = live values, winning lsn kept), cursor advanced to
+        the latest epoch. Semantics: replaying this frame into an empty
+        downstream replica, then applying subsequent polls, converges to
+        the same state as a consumer that never fell behind (inserts of
+        keys the replica still holds must be applied as upserts —
+        downstream LWW, the same contract as every changelog row)."""
+        epochs = self.table.committed_epochs()
+        latest = epochs[-1] if epochs else self.cursor
+        key_cols = self.table.key_cols
+        state = self.table.read_resolved(
+            self.spark, as_of_epoch=latest, with_version_cols=True
+        )
+        val_cols = [
+            c for c in state.columns if c not in (*key_cols, "lsn", "op")
+        ]
+        exprs = [F.lit("insert").alias("change_type")]
+        exprs += [F.col(c) for c in key_cols]
+        for c in val_cols:
+            exprs.append(F.lit(None).cast(state.schema[c].dataType).alias(f"{c}_before"))
+            exprs.append(F.col(c).alias(f"{c}_after"))
+        exprs.append(F.col("lsn"))
+        self.cursor = latest
+        return latest, state.select(*exprs)
