@@ -57,10 +57,15 @@ def _git(*args: str, cwd: str = REPO) -> str:
 
 
 def default_ref() -> str:
-    """Newest commit whose message starts with 'round' — the driver commits
-    one per round boundary, so this is the previous round's code."""
-    sha = _git("log", "--grep=^round", "--format=%H", "-1")
-    return sha or _git("rev-parse", "HEAD~1")
+    """Newest commit whose SUBJECT line starts with 'round ' — the driver
+    commits one per round boundary, so this is the previous round's code.
+    (git --grep matches body lines too, which misfires on commits that
+    merely mention a round — filter subjects explicitly.)"""
+    for line in _git("log", "--format=%H %s").splitlines():
+        sha, _, subject = line.partition(" ")
+        if subject.startswith("round "):
+            return sha
+    return _git("rev-parse", "HEAD~1")
 
 
 def run_leg(repo_dir: str, cores: int, events: int, feed_dir: str,
