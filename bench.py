@@ -229,9 +229,11 @@ def main() -> None:
 
     from transcript_cdc.session import get_spark
 
-    spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
-    )
+    # SPARK_GRAFT_MASTER overrides the thread-local master — used by the
+    # scaling harness to run true multi-executor topologies
+    # (local-cluster[N,cores,mem]) where each executor is its own JVM.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    spark = get_spark("bench", master=master, shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
     modes = tuple(

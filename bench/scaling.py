@@ -151,11 +151,27 @@ def pregenerate_feed(events: int) -> str:
     return d
 
 
-def run_level(cores: int, events: int, trials: int, feed_dir: str) -> dict:
-    """Best-of-N trials: the host is a shared VM with visible run-to-run
-    noise (stolen cycles); min-time is the standard estimator for the
-    machine's true capability under noise."""
+def run_level(
+    cores: int, events: int, trials: int, feed_dir: str,
+    topology: str = "threads",
+) -> dict:
+    """One pinned replay leg at `cores` (trials kept for signature
+    compatibility; multi-trial selection lives in run_levels_interleaved,
+    which interleaves levels instead of running them in blocks).
+
+    topology="threads": local[N] — one JVM, N task threads (the round-1/2
+    protocol). topology="executors": local-cluster[N,1,mem] — N separate
+    single-core executor JVMs plus a driver JVM, the literal shape of the
+    north rule's "N to 4N executors"; the process tree is pinned to N+1
+    CPUs (N executor cores + 1 constant driver core — a real cluster's
+    driver is its own node and is not counted in executor scaling)."""
     env = dict(os.environ)
+    if topology == "executors":
+        mem_mb = int(os.environ.get("SPARK_EXECUTOR_MEM_MB", "6144"))
+        env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cores},1,{mem_mb}]"
+        cpuset = set(range(cores + 1))
+    else:
+        cpuset = set(range(cores))
     env.update(
         {
             "SPARK_GRAFT_CPUS": str(cores),
@@ -176,38 +192,61 @@ def run_level(cores: int, events: int, trials: int, feed_dir: str) -> dict:
         }
     )
     # CPU affinity pinning: a local[N] JVM otherwise uses far more than N
-    # host cores (Python UDF workers, GC, JIT, parquet writer threads run
-    # concurrently with the N task threads), which inflates the small-N
-    # baseline and understates scaling. Pinning the whole process tree to
-    # exactly N CPUs is the honest emulation of an N-core executor.
-    cpuset = set(range(cores))
-
+    # CPU affinity pinning (see docstring): without it a local JVM uses far
+    # more than its nominal cores, inflating the small-N baseline.
     def _pin():
         os.sched_setaffinity(0, cpuset)
 
-    best = None
-    for t in range(trials):
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            preexec_fn=_pin,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        res = json.loads(line)
-        print(
-            f"  trial {t}: cow {res['cdc']['events_per_sec']:,.0f} ev/s, "
-            f"mor {res['cdc_mor']['events_per_sec']:,.0f} ev/s",
-            file=sys.stderr,
-        )
-        if best is None:
-            best = res
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        preexec_fn=_pin,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    label = (
+        f"local-cluster[{cores},1]" if topology == "executors" else f"local[{cores}]"
+    )
+    print(
+        f"  {label}: cow {res['cdc']['events_per_sec']:,.0f} ev/s, "
+        f"mor {res['cdc_mor']['events_per_sec']:,.0f} ev/s "
+        f"(sustained {_tput(res['cdc']):,.0f} / {_tput(res['cdc_mor']):,.0f})",
+        file=sys.stderr,
+    )
+    return res
+
+
+def run_levels_interleaved(
+    lo: int, hi: int, events: int, trials: int, feed_dir: str,
+    topology: str = "threads",
+) -> dict[int, dict]:
+    """Best-of-N per level with the legs INTERLEAVED in mirrored order
+    (lo hi hi lo lo hi ...), one fresh pinned JVM per leg.
+
+    Running all lo trials then all hi trials (the round-2 protocol) is
+    exactly the trap the A/B harness exists to avoid on this host: the
+    burst-credit throttle changes on a minute scale, so sequential level
+    blocks measure two different machines — observed concretely as a 1→4
+    "efficiency" of 0.25 when the 4-core block landed in a throttled
+    window (its two mor trials differed 5.4x from each other). Mirrored
+    interleaving gives each level draws from the same weather mix, and
+    best-of-N then picks each level's healthiest window."""
+    order: list[int] = []
+    for i in range(trials):
+        pair = [lo, hi] if i % 2 == 0 else [hi, lo]
+        order += pair
+    best: dict[int, dict] = {}
+    for cores in order:
+        res = run_level(cores, events, 1, feed_dir, topology=topology)
+        if cores not in best:
+            best[cores] = res
         else:
             for key in ("cdc", "cdc_mor"):
-                if _tput(res[key]) > _tput(best[key]):
-                    best[key] = res[key]
+                if _tput(res[key]) > _tput(best[cores][key]):
+                    best[cores][key] = res[key]
     return best
 
 
@@ -265,6 +304,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, nargs=2, default=[2, 8])
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    ap.add_argument("--topology", choices=["threads", "executors"], default="threads",
+                    help="threads=local[N] single JVM; executors=local-cluster[N,1,mem] — N single-core executor JVMs (+1 pinned driver core), the literal N→4N-executor shape")
     args = ap.parse_args()
 
     lo, hi = args.cores
@@ -279,15 +320,19 @@ def main() -> None:
     # super-linear probe ratios are measurement noise; ceiling caps at 1
     bw_ceiling = min(1.0, (bw[hi] / bw[lo]) / ratio)
 
-    print("measuring per-mode CPU inflation on the engine's own tasks ...", file=sys.stderr)
-    prof = profile_inflation(lo, hi)
+    prof = None
+    if args.topology == "threads":
+        print("measuring per-mode CPU inflation on the engine's own tasks ...", file=sys.stderr)
+        prof = profile_inflation(lo, hi)
 
     print("pre-generating feed ...", file=sys.stderr)
     feed_dir = pregenerate_feed(args.events)
-    results = {}
-    for c in (lo, hi):
-        print(f"running replay at local[{c}] ...", file=sys.stderr)
-        results[c] = run_level(c, args.events, args.trials, feed_dir)
+    print(
+        f"running interleaved replay legs at local[{lo}]/local[{hi}] ...",
+        file=sys.stderr,
+    )
+    results = run_levels_interleaved(lo, hi, args.events, args.trials, feed_dir,
+                                     topology=args.topology)
 
     rows, effs, effs_total = [], {}, {}
     for mode, key in (("cow", "cdc"), ("mor", "cdc_mor")):
@@ -303,6 +348,26 @@ def main() -> None:
         )
 
     n_ev = results[lo]["cdc"]["events"]
+    if prof is None:
+        # executors topology: persist raw JSON; the narrative report is
+        # assembled by hand in BENCH/BASELINE.md from all protocol legs
+        out_json = {
+            "topology": args.topology,
+            "cores": [lo, hi],
+            "events": n_ev,
+            "efficiency": effs,
+            "efficiency_total": effs_total,
+            "probes": {"alu": hw, "gather": ga, "copy": bw},
+            "results": {str(k): v for k, v in results.items()},
+        }
+        with open(os.path.join(REPO, "bench", f"scaling_{args.topology}.json"), "w") as f:
+            json.dump(out_json, f, indent=1)
+        print(json.dumps({
+            "efficiency": effs, "efficiency_total": effs_total,
+            "topology": args.topology,
+            "ceilings": {"alu": round(hw_ceiling, 3), "gather": round(ga_ceiling, 3), "copy": round(bw_ceiling, 3)},
+        }))
+        return
     md = f"""# BENCH/BASELINE — CDC replay scaling evidence
 
 North-rule criterion (BASELINE.json): sustained change-events/sec on a
@@ -313,8 +378,10 @@ No real cluster exists in this sandbox, so per the evidencing protocol the
 same job + same seeded input ({n_ev:,} change events,
 {results[lo]["cdc"]["epochs"]} epochs, Zipf-skewed conversations, 20%
 out-of-order, mid-stream schema evolution) ran at two parallelism levels,
-N={lo} and 4N={hi} cores, in fresh JVMs — best of {args.trials} trials per
-level (the host VM shows visible run-to-run noise from stolen cycles).
+N={lo} and 4N={hi} cores, in fresh JVMs — {args.trials} trials per level,
+legs INTERLEAVED in mirrored order (lo hi hi lo ...) and best-of taken per
+level: the host VM is burst-credit throttled on a minute scale, so
+sequential level blocks would measure two different machines.
 Each leg is CPU-affinity-pinned to exactly its core budget: unpinned, a
 local[N] JVM uses far more than N host cores (Python UDF workers, GC, JIT
 and writer threads run alongside the N task threads), which inflates the

@@ -110,7 +110,8 @@ def bm25_topk(
 
 
 def embedding_score(
-    text_col: str, query_text: str, dim: int = 16, hash_fn: str = "xx64"
+    text_col: str, query_text: str, dim: int = 16, hash_fn: str = "xx64",
+    cache=None,
 ) -> Column:
     """Deterministic semantic scorer: dot of hash-embeddings — the
     SentenceTransformers twin (embedding.py:12-17) made hermetic.
@@ -121,18 +122,30 @@ def embedding_score(
     every scored row. This mirrors the reference embedding the query once
     per request (services/search.py:72-76). With the portable md5 hash the
     query vector comes from the pure-Python twin (no 1-row Spark job at
-    all); xx64 needs the JVM for xxhash64."""
-    if hash_fn == "md5":
-        from transcript_cdc.functions.portable import py_hash_embed
+    all); xx64 needs the JVM for xxhash64.
 
-        qvec = py_hash_embed(query_text, dim)
-    else:
+    ``cache``: optional operators.cache.LruCache — the J9 get-or-fetch.
+    Query embeddings are immutable (pure function of the text), so the key
+    needs no snapshot identity; a hit skips the 1-row Spark job the xx64
+    path otherwise pays per request (the reference's vector-store LRU,
+    repositories/vector_store.py:33-63)."""
+
+    def fetch():
+        if hash_fn == "md5":
+            from transcript_cdc.functions.portable import py_hash_embed
+
+            return py_hash_embed(query_text, dim)
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
-        qvec = spark.range(1).select(
+        return spark.range(1).select(
             hash_embed(F.lit(query_text), dim, hash_fn).alias("q")
         ).first()["q"]
+
+    if cache is not None:
+        qvec = cache.get_or_fetch(("qembed", query_text, dim, hash_fn), fetch)
+    else:
+        qvec = fetch()
     q = F.array(*[F.lit(float(x)) for x in qvec])
     return dot(hash_embed(F.col(text_col), dim, hash_fn), q).cast("double")
 
@@ -207,16 +220,33 @@ def correlations(
     filters: Sequence[Column] = (),
     k: int = 10,
     hash_fn: str = "xx64",
+    cache=None,
+    cache_key=None,
 ) -> DataFrame:
     """More-like-this by key: point-lookup source text, score everything
-    against it, over-fetch 2k, rerank to k, self-score override."""
-    src = point_lookup(snapshot, source_key).select(text_col).first()
-    if src is None:
+    against it, over-fetch 2k, rerank to k, self-score override.
+
+    ``cache``/``cache_key``: optional operators.cache.LruCache — the J9
+    try-cache-then-point-lookup shape of the reference's correlations
+    service (services/correlations.py:64-78,104-107). ``cache_key`` MUST
+    capture the snapshot's identity (e.g. the lake table's committed
+    epoch): the LRU never invalidates, so a stale key would serve a stale
+    source row. A hit skips the point-lookup Spark job entirely."""
+
+    def fetch():
+        row = point_lookup(snapshot, source_key).select(text_col).first()
+        return None if row is None else (row[0] or "")
+
+    if cache is not None:
+        key = ("corr-src", cache_key, tuple(sorted(source_key.items())), text_col)
+        src_text = cache.get_or_fetch(key, fetch)
+    else:
+        src_text = fetch()
+    if src_text is None:
         return snapshot.limit(0)
-    src_text = src[0] or ""
     base = snapshot.filter(conjunction(*filters))
     scored = base.withColumn(
-        "score", embedding_score(text_col, src_text, hash_fn=hash_fn)
+        "score", embedding_score(text_col, src_text, hash_fn=hash_fn, cache=cache)
     )
     cand = top_k(scored, "score", 2 * k, tiebreak=id_cols)
     is_self = conjunction(
