@@ -47,6 +47,10 @@ from transcript_cdc.functions.normalize import normalize_text, normalize_text_sq
 from transcript_cdc.operators.dedup import lww_dedup
 from transcript_cdc.operators.merge import merge_apply
 from transcript_cdc.plans.control import JobControl, job_group
+from transcript_cdc.operators.rangewrite import (
+    assign_range_partition,
+    plan_range_bounds,
+)
 from transcript_cdc.operators.skew import (
     choose_salt,
     heavy_hitter_probe,
@@ -362,9 +366,7 @@ class CdcIngestJob:
             # Re-derive the bucket from conv_id (deterministic), then
             # RANGE-cluster the write on (bucket, key): each output file
             # covers a tight key interval, which is exactly what makes the
-            # next epoch's file pruning selective. The range partitioner's
-            # sampling also balances hot buckets (the role salting plays on
-            # the MOR path — COW needs no probe and no salt).
+            # next epoch's file pruning selective.
             new_state = merged.withColumn(
                 BUCKET_COL,
                 bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"]),
@@ -372,11 +374,37 @@ class CdcIngestJob:
             n_parts = self.cfg.write_partitions or int(
                 self.spark.conf.get("spark.sql.shuffle.partitions")
             )
-            new_state = new_state.repartitionByRange(
-                n_parts,
-                F.col(BUCKET_COL),
-                F.col(self.table.meta["bucket_by"]),
-            ).sortWithinPartitions(BUCKET_COL, self.table.meta["bucket_by"])
+            # Range clustering WITHOUT repartitionByRange: its
+            # RangePartitioner samples the child plan, which here is the
+            # merge itself — the hot set would be scanned and merged TWICE
+            # per epoch (measured: the sampling job costs about as much as
+            # the exchange map stage), plus one extra driver-serial job.
+            # The epoch already knows the key distribution — hot files'
+            # footer stats + the control collect's batch key lists — so
+            # split points are computed driver-side and each row is routed
+            # to its range's exact reducer (operators/rangewrite.py).
+            # Deterministic output placement, merge evaluated exactly once.
+            key_col2 = self.table.meta["bucket_by"]
+            atoms = self.table.write_atoms(hot)
+            if keys_by_bucket is not None:
+                atoms += [
+                    (int(b), k, 1.0)
+                    for b, ks in keys_by_bucket.items()
+                    for k in ks
+                ]
+            if atoms:
+                bounds = plan_range_bounds(atoms, n_parts)
+                new_state = assign_range_partition(
+                    new_state, bounds, n_parts, BUCKET_COL, key_col2
+                )
+            else:
+                # No stats at all (first epoch with an over-cap key set):
+                # fall back to sampled range partitioning — correctness
+                # identical, just pays the sampling pass this once.
+                new_state = new_state.repartitionByRange(
+                    n_parts, F.col(BUCKET_COL), F.col(key_col2)
+                )
+            new_state = new_state.sortWithinPartitions(BUCKET_COL, key_col2)
 
             metrics = {
                 "storage": "cow",

@@ -581,6 +581,24 @@ class ParquetSnapshotTable:
                     kept.setdefault(bs, []).append(path)
         return hot, kept
 
+    def write_atoms(self, rel_paths: Sequence[str]) -> list[tuple[int, str, float]]:
+        """(bucket, min_key, rows) per stats-bearing live file — point-mass
+        estimates of where existing rows live in (bucket, key) space.
+        Feeds operators.rangewrite.plan_range_bounds so the COW write can
+        range-cluster WITHOUT a sampling pass (driver-side manifest
+        arithmetic only; files lacking footer stats contribute no atom —
+        bound quality degrades, routing correctness never depends on it)."""
+        state, _ = self._current_state()
+        stats = self._fold_stats()
+        bucket_of_path = {f: int(b) for b, fl in state.items() for f in fl}
+        out: list[tuple[int, str, float]] = []
+        for p in rel_paths:
+            st = stats.get(p)
+            b = bucket_of_path.get(p)
+            if st and b is not None and st.get("min_key") is not None:
+                out.append((b, st["min_key"], float(st.get("rows") or 1)))
+        return out
+
     # ---------- write / commit ----------
 
     def is_committed(self, epoch: int) -> bool:
