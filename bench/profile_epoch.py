@@ -39,6 +39,8 @@ def run_replay(
     log_dir: str,
     shuffle: int | None = None,
     normalizer: str = "arrow",
+    topology: str = "threads",
+    epochs: int = 2,
 ) -> dict:
     from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
     from transcript_cdc.session import get_spark
@@ -46,9 +48,14 @@ def run_replay(
     os.makedirs(log_dir, exist_ok=True)
     if shuffle is None:
         shuffle = max(cores * 4, 8)
+    if topology == "executors":
+        mem_mb = int(os.environ.get("SPARK_EXECUTOR_MEM_MB", "12288"))
+        master = f"local-cluster[{cores},1,{mem_mb}]"
+    else:
+        master = f"local[{cores}]"
     spark = get_spark(
         f"profile-{mode}-{cores}",
-        master=f"local[{cores}]",
+        master=master,
         shuffle_partitions=shuffle,
         extra_conf={
             "spark.eventLog.enabled": "true",
@@ -70,7 +77,7 @@ def run_replay(
     )
     cfg = IngestConfig(
         n_buckets=32,
-        epoch_events=n_events // 2 + 1,
+        epoch_events=n_events // epochs + 1,
         write_partitions=shuffle,
         storage=mode,
         normalize=normalizer != "off",
@@ -199,6 +206,12 @@ def main() -> None:
     ap.add_argument(
         "--normalizer", default="arrow", choices=["arrow", "sql", "off"]
     )
+    ap.add_argument(
+        "--topology", default="threads", choices=["threads", "executors"],
+        help="threads=local[N]; executors=local-cluster[N,1,mem] — N "
+             "single-core executor JVMs (the N→4N-executor shape)",
+    )
+    ap.add_argument("--epochs", type=int, default=2)
     args = ap.parse_args()
 
     feed = args.feed
@@ -224,6 +237,7 @@ def main() -> None:
         r = run_replay(
             args.cores, feed, mode, log_dir,
             shuffle=args.shuffle, normalizer=args.normalizer,
+            topology=args.topology, epochs=args.epochs,
         )
         logf = os.path.join(log_dir, r["app_id"])
         if not os.path.exists(logf):
@@ -233,6 +247,7 @@ def main() -> None:
         out = {
             "mode": mode, "cores": args.cores, "events": r["events"],
             "shuffle": args.shuffle, "normalizer": args.normalizer,
+            "topology": args.topology, "epochs": args.epochs,
             "wall_s": round(r["wall"], 2),
             "ev_per_s": round(r["events"] / r["wall"]),
             "task_runtime_s": round(agg["task_runtime"] / 1000, 1),
