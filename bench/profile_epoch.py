@@ -98,6 +98,7 @@ def parse_eventlog(path: str) -> dict:
         "task_runtime": 0.0, "task_cpu": 0.0, "gc": 0.0,
         "shuffle_wait": 0.0, "shuffle_write": 0.0,
         "deser": 0.0, "result_ser": 0.0, "n_tasks": 0,
+        "mem_spilled": 0, "disk_spilled": 0,
     }
     # Spark 4 rolling logs: eventlog_v2_<appid>/events_*; classic: one file
     if os.path.isdir(path):
@@ -134,6 +135,8 @@ def parse_eventlog(path: str) -> dict:
             ) / 1e6
             agg["deser"] += m.get("Executor Deserialize Time", 0)
             agg["result_ser"] += m.get("Result Serialization Time", 0)
+            agg["mem_spilled"] += m.get("Memory Bytes Spilled", 0)
+            agg["disk_spilled"] += m.get("Disk Bytes Spilled", 0)
         elif e == "SparkListenerJobStart":
             # stage name carries the RDD callsite ("collect at foo.py:123")
             # — more diagnostic than the job-group description
@@ -258,6 +261,8 @@ def main() -> None:
             "shuffle_write_s": round(agg["shuffle_write"] / 1000, 2),
             "deser_s": round(agg["deser"] / 1000, 2),
             "sched_gap_s": round((wall_ms - agg.get("stage_covered", 0)) / 1000, 2),
+            "spill_mb": round(agg["mem_spilled"] / 1e6),
+            "spill_disk_mb": round(agg["disk_spilled"] / 1e6),
             "n_tasks": agg["n_tasks"],
             "runtime_per_core_s": round(agg["task_runtime"] / 1000 / args.cores, 1),
         }

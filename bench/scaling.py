@@ -206,6 +206,18 @@ def run_level(
     def _pin():
         os.sched_setaffinity(0, cpuset)
 
+    # Per-leg host-health bracket: a 6s pinned probe at THIS leg's exact
+    # footprint, run immediately before the leg. The host's cycle/memory
+    # delivery swings 1.5-4x on a minute scale (burst credits); a leg is
+    # only comparable to another leg whose bracket shows similar health,
+    # and an efficiency quote is only decision-grade when both its legs'
+    # brackets are healthy. Recorded, not corrected-with.
+    n_pin = len(cpuset)
+    probe = {
+        "procs": n_pin,
+        "alu_mops": hw_probe([n_pin], dur=6.0)[n_pin],
+        "gather_macc": gather_probe([n_pin], dur=6.0)[n_pin],
+    }
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -216,6 +228,7 @@ def run_level(
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
+    res["probe_before"] = probe
     label = (
         f"local-cluster[{cores},1]" if topology == "executors" else f"local[{cores}]"
     )
@@ -248,14 +261,26 @@ def run_levels_interleaved(
         pair = [lo, hi] if i % 2 == 0 else [hi, lo]
         order += pair
     best: dict[int, dict] = {}
+    legs: list[dict] = []
     for cores in order:
         res = run_level(cores, events, 1, feed_dir, topology=topology)
+        legs.append(
+            {
+                "cores": cores,
+                "probe_before": res.get("probe_before"),
+                "cow_sustained": _tput(res["cdc"]),
+                "mor_sustained": _tput(res["cdc_mor"]),
+                "cow_epoch_seconds": res["cdc"].get("epoch_seconds"),
+                "mor_epoch_seconds": res["cdc_mor"].get("epoch_seconds"),
+            }
+        )
         if cores not in best:
             best[cores] = res
         else:
             for key in ("cdc", "cdc_mor"):
                 if _tput(res[key]) > _tput(best[cores][key]):
                     best[cores][key] = res[key]
+    best["legs"] = legs
     return best
 
 

@@ -88,6 +88,41 @@ def test_chunked_epochs_match_oracle(spark, feed, tmp_path):
     assert "model" in names and "tokens" in names
 
 
+def test_cow_overcap_observe_control_matches_oracle(spark, feed, tmp_path):
+    """Deployment-shaped COW epochs (key set over the prune-collect cap and
+    the broadcast cap) must route the control pass through the
+    observe+count regime — no per-bucket aggregate, SMJ merge — and still
+    replay to exactly the oracle state, resumably."""
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(
+        n_buckets=2,
+        epoch_events=400,
+        # zeroed caps force the over-cap regime (and the SMJ merge) from
+        # the first epoch that has any lagged signal
+        file_prune_max_keys=0,
+        broadcast_max_rows=0,
+    )
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    results = job.run()
+    assert len(results) > 2
+    # every epoch of this config takes the observe-count control (epoch 0
+    # because the table has no live files yet, later epochs because the
+    # lagged key count exceeds the zeroed cap)
+    for r in results:
+        m = job.table.read_manifest(r["epoch"])["metrics"]
+        assert m["control"] == "observe-count"
+        assert m["keys"] == r["keys"] > 0
+    assert results[1]["touched_buckets"] == 2
+    _assert_equal(_engine_state(job), feed["oracle"])
+    # re-apply of an observe-control epoch is still a no-op (exactly-once)
+    r = job.run_epoch(results[1]["epoch"], 399, 799)
+    assert r.get("skipped") == "already-committed"
+    # and a fresh process resumes cleanly past those commits
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    assert job2.run() == []
+    _assert_equal(_engine_state(job2), feed["oracle"])
+
+
 def test_kill_and_resume(spark, feed, tmp_path):
     root = str(tmp_path / "table")
     cfg = IngestConfig(n_buckets=8, epoch_events=400)

@@ -63,6 +63,21 @@ def test_broadcast_same_result(spark):
     )
 
 
+def test_nonbroadcast_merge_keeps_narrow_anti_join(spark):
+    """The large-batch merge keeps the anti-join shape on purpose: the join
+    right side is the batch's KEY COLUMNS ONLY (narrow sort), which an
+    interleaved A/B measured ~7% faster with half the sort spill vs a
+    single-window merge that shuffles both sides' full payloads."""
+    snap = _snap(spark, [("c1", 0, "a"), ("c2", 0, "b")])
+    batch = _batch(spark, [(1, "U", "c1", 0, "a2"), (2, "D", "c2", 0, None)])
+    out = merge_apply(snap, batch, broadcast_batch=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan
+    assert {(r.conv_id, r.turn_idx, r.text) for r in out.collect()} == {
+        ("c1", 0, "a2")
+    }
+
+
 def test_merge_evolved_batch_column(spark):
     snap = _snap(spark, [("c1", 0, "a")])
     batch = spark.createDataFrame(

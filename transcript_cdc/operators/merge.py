@@ -14,9 +14,21 @@ This is equivalent to the textbook FULL OUTER + CASE resolution
 better physically: Spark cannot broadcast either side of a full-outer join
 (HintErrorLogger: "build right for full outer join" is unsupported), while
 LEFT ANTI supports a broadcast build of the (small, post-dedup) batch side —
-so the big snapshot side is scanned once with ZERO shuffle. Large batches
-fall back to a sort-merge anti join on the composite key, which AQE
-skew-splits if needed.
+so the big snapshot side is scanned once with ZERO shuffle.
+
+When the batch is too large to broadcast, the plan falls back to a
+sort-merge anti join on the composite key, which AQE skew-splits if needed.
+The anti-join shape is kept deliberately for this regime too: its join
+RIGHT side is the batch's KEY COLUMNS ONLY, so the merge sorts a narrow
+relation plus the snapshot — an interleaved same-host A/B against the
+alternative single-window plan (row_number over snapshot ∪ batch, which
+shuffles and sorts both sides' FULL payloads through one exchange) measured
+the window variant ~7% slower at 4 executors with 2x the sort spill
+(9.3 GB vs 4.4 GB on 8M-event epochs). The cost of the anti-join shape is
+that `batch` appears twice in the plan (keys branch + upserts branch), so
+the epoch loop persists the batch; plans/ingest.py keeps the control
+round-trip on that persisted batch to a single count() in the large-epoch
+regime.
 
 Schema evolution falls out of unionByName(allowMissingColumns=True):
 snapshot-only rows get nulls for batch-introduced columns and vice versa.

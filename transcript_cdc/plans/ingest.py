@@ -29,8 +29,10 @@ At 10^10 events the loop is bounded per-epoch: cost scales with
 |epoch slice| + |files containing batch keys|, never with |full table|,
 |touched buckets| or |full feed| (no collect of data — MOR epochs run ONE
 Spark job, the observed write; COW epochs add a single bounded control
-collect of ≤n_buckets count rows + the capped distinct-key lists that
-drive file pruning — SURVEY.md §7 hard #5).
+pass: while the key set is collectable, ≤n_buckets count rows + the capped
+distinct-key lists that drive file pruning; past the cap, an Observation
+riding the cache materialization + one count() scalar — SURVEY.md §7
+hard #5).
 """
 
 from __future__ import annotations
@@ -273,14 +275,18 @@ class CdcIngestJob:
         the manifests — plan_cow_merge); provably-untouched files are
         carried forward unrewritten.
 
-        Two Spark jobs per epoch: ONE bounded control collect + the merge
-        write. The collect returns per-bucket row/delete counts
-        (≤ n_buckets rows) and — when the table has live files to prune
-        against — each bucket's sorted distinct key set, capped at
-        ``file_prune_max_keys``+1 elements so an oversized bucket degrades
-        to whole-bucket rewrite instead of unbounded driver transfer.
+        Two Spark jobs per epoch: ONE bounded control pass + the merge
+        write. The control pass has two regimes, lag-selected: while the
+        epoch's key set is collectable (≤ ``file_prune_max_keys``), a
+        groupBy(bucket) collect returns per-bucket row/delete counts
+        (≤ n_buckets rows) plus each bucket's sorted distinct key set,
+        capped at ``file_prune_max_keys``+1 elements so an oversized bucket
+        degrades to whole-bucket rewrite instead of unbounded driver
+        transfer. Past the cap the key lists would be discarded anyway, so
+        the control pass degenerates to persist().count() with the
+        counts/touched-set riding the materialization as an ``Observation``
+        — no per-bucket aggregate, one driver round-trip of one scalar.
         (Round 1 ran counts and prune keys as two separate jobs.)"""
-        batch = batch.persist()
         try:
             key_col = self.table.meta["bucket_by"]
             lim = self.cfg.file_prune_max_keys
@@ -302,21 +308,61 @@ class CdcIngestJob:
                 and last_keys <= lim
                 and self.table.has_live_files()
             )
-            aggs = [
-                F.count(F.lit(1)).alias("keys"),
-                F.sum((F.col(schemas.OP_COL) == "D").cast("long")).alias(
-                    "deletes"
-                ),
-            ]
+            keys_by_bucket: dict[str, list] | None = None
             if collect_keys:
-                aggs.append(
-                    F.slice(
-                        F.sort_array(F.collect_set(F.col(key_col))), 1, lim + 1
-                    ).alias("key_list")
+                batch = batch.persist()
+                brows = (
+                    batch.groupBy(BUCKET_COL)
+                    .agg(
+                        F.count(F.lit(1)).alias("keys"),
+                        F.sum(
+                            (F.col(schemas.OP_COL) == "D").cast("long")
+                        ).alias("deletes"),
+                        F.slice(
+                            F.sort_array(F.collect_set(F.col(key_col))),
+                            1,
+                            lim + 1,
+                        ).alias("key_list"),
+                    )
+                    .collect()
                 )
-            brows = batch.groupBy(BUCKET_COL).agg(*aggs).collect()
-            n_keys = sum(int(r["keys"]) for r in brows)
-            n_deletes = sum(int(r["deletes"] or 0) for r in brows)
+                n_keys = sum(int(r["keys"]) for r in brows)
+                n_deletes = sum(int(r["deletes"] or 0) for r in brows)
+                touched = [int(r[BUCKET_COL]) for r in brows]
+                if n_keys <= lim:
+                    # A missing bucket entry means "unknown" → plan_cow_merge
+                    # rewrites that whole bucket; buckets whose key set
+                    # overflowed the slice cap are simply left out.
+                    keys_by_bucket = {
+                        str(int(r[BUCKET_COL])): list(r["key_list"])
+                        for r in brows
+                        if r["key_list"] is not None
+                        and len(r["key_list"]) <= lim
+                    }
+                control = "groupby-collect"
+            else:
+                # Large-epoch regime: the key lists would be discarded, so
+                # the per-bucket aggregate buys nothing — ride the control
+                # metrics on the cache-materialization pass itself as an
+                # Observation and reduce the driver round-trip to count()
+                # (profiled: the groupBy+collect leg of the control job cost
+                # ~14s per 8M-event epoch at 4 executors on top of the
+                # materialization it shares with this path).
+                obs = Observation(f"epoch-{epoch}-control")
+                batch = batch.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("keys"),
+                    F.sum((F.col(schemas.OP_COL) == "D").cast("long")).alias(
+                        "deletes"
+                    ),
+                    F.collect_set(F.col(BUCKET_COL)).alias("buckets"),
+                ).persist()
+                batch.count()  # one pass: materialize cache + fire observe
+                om = obs.get
+                n_keys = int(om.get("keys") or 0)
+                n_deletes = int(om.get("deletes") or 0)
+                touched = sorted(int(b) for b in (om.get("buckets") or []))
+                control = "observe-count"
             if n_keys == 0:
                 self.table.commit_epoch(
                     epoch,
@@ -329,17 +375,6 @@ class CdcIngestJob:
                 )
                 return {"epoch": epoch, "keys": 0}
 
-            touched = [int(r[BUCKET_COL]) for r in brows]
-            keys_by_bucket: dict[str, list] | None = None
-            if collect_keys and n_keys <= lim:
-                # A missing bucket entry means "unknown" → plan_cow_merge
-                # rewrites that whole bucket; buckets whose key set
-                # overflowed the slice cap are simply left out.
-                keys_by_bucket = {
-                    str(int(r[BUCKET_COL])): list(r["key_list"])
-                    for r in brows
-                    if r["key_list"] is not None and len(r["key_list"]) <= lim
-                }
             hot, kept = self.table.plan_cow_merge(
                 touched, keys_by_bucket, self.cfg.max_files_per_bucket
             )
@@ -412,6 +447,7 @@ class CdcIngestJob:
                 "deletes_in_batch": n_deletes,
                 "files_rewritten": n_hot,
                 "files_kept": n_kept,
+                "control": control,
                 "duration_prepare_s": round(time.time() - t0, 3),
             }
             committed = self.table.commit_epoch(
