@@ -186,7 +186,7 @@ def run_level(
             "SPARK_GRAFT_CPUS": str(cores),
             "BENCH_CDC_EVENTS": str(events),
             "BENCH_REPLAY_ONLY": "1",
-            "BENCH_CDC_MODES": "cow,mor",
+            "BENCH_CDC_MODES": os.environ.get("BENCH_CDC_MODES", "cow,mor"),
             # Several epochs so the sustained figure (epoch 0 excluded —
             # it carries the one-time JVM/codegen/Arrow-worker warmup that
             # a 10^10-event deployment amortizes to nothing) averages over
