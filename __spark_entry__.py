@@ -460,6 +460,51 @@ def q_embedding_near_dup(spark, sf):
     ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+# Over-cap fixture text: 12 words → shingleable at n=3; every synthetic row
+# is byte-identical so all DEFAULT_MAX_BUCKET_SIZE+50 of them share every
+# band bucket, pushing those buckets past the cap.
+_CAP_COMMON_TEXT = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+)
+_CAP_N = DEFAULT_MAX_BUCKET_SIZE + 50
+_CAP_ID_BASE = 10_000_000
+
+
+def q_minhash_capped_documents(spark, sf):
+    """Over-cap fixture for the too-common-bucket guard (round-3 verdict
+    #1): union documents with _CAP_N identical synthetic docs so their
+    shared band buckets exceed DEFAULT_MAX_BUCKET_SIZE. The public API is
+    called with DEFAULTS — no max_bucket_size argument — so green proves
+    the cap is ON at the API boundary and actually fired (uncapped Spark
+    would emit ~550k synthetic pairs the capped oracle drops)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    syn = spark.range(_CAP_N).select(
+        (F.col("id") + F.lit(_CAP_ID_BASE)).alias("doc_id"),
+        F.lit(_CAP_COMMON_TEXT).alias("text"),
+    )
+    return minhash_near_dup_pairs(
+        docs.unionByName(syn), "text", "doc_id", shingle_n=3, k=16, bands=4,
+        jaccard_threshold=0.5, hash_fn="md5",
+    )
+
+
+def q_embedding_capped_near_dup(spark, sf):
+    """Embedding twin of the over-cap fixture: _CAP_N identical unit-ish
+    vectors land in ONE hyperplane bucket (> cap) and must be dropped whole
+    by the public API's default guard; pairs among the real embeddings that
+    share no over-cap bucket survive on both engines."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    syn = spark.range(_CAP_N).select(
+        (F.col("id") + F.lit(_CAP_ID_BASE)).alias("vec_id"),
+        F.array_repeat(F.lit(1.0).cast("float"), 64).alias("embedding"),
+    )
+    planes = make_planes(64, 4)
+    return embedding_near_dup_pairs(
+        emb.unionByName(syn), "embedding", "vec_id",
+        planes=planes, cosine_threshold=0.4,
+    ).select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_ann_topk_embeddings(spark, sf):
     """LSH-bucketed approximate top-k, with a generated DuckDB twin (same
     plane literals and bucket filter — the approximation itself is
@@ -857,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "simhash_documents": q_simhash_documents,
         "embedding_near_dup": q_embedding_near_dup,
+        "minhash_capped_documents": q_minhash_capped_documents,
+        "embedding_capped_near_dup": q_embedding_capped_near_dup,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "correlations_documents": q_correlations_documents,
@@ -1300,6 +1347,32 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_documents": ot.minhash_pairs_sql(
             shingle_n=3, k=16, bands=4, seed=7, jaccard_threshold=0.5,
             max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+        ),
+        # Over-cap fixtures: same twins over (documents ∪ synthetic
+        # over-cap bucket). The oracle caps at DEFAULT_MAX_BUCKET_SIZE; the
+        # Spark queries rely on the PUBLIC API default — a green row means
+        # the cap fired identically on both engines (non-vacuous since the
+        # synthetic bucket holds _CAP_N > cap members).
+        "minhash_capped_documents": ot.minhash_pairs_sql(
+            shingle_n=3, k=16, bands=4, seed=7, jaccard_threshold=0.5,
+            max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+            table=(
+                "(SELECT doc_id, text FROM documents "
+                f"UNION ALL SELECT {_CAP_ID_BASE} + i AS doc_id, "
+                f"'{_CAP_COMMON_TEXT}' AS text "
+                f"FROM range({_CAP_N}) t(i)) u"
+            ),
+        ),
+        "embedding_capped_near_dup": ot.embedding_near_dup_sql(
+            make_planes(64, 4), 0.4, 64,
+            max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+            table=(
+                "(SELECT vec_id, embedding FROM embeddings "
+                f"UNION ALL SELECT {_CAP_ID_BASE} + i AS vec_id, "
+                "list_transform(range(64), j -> CAST(1.0 AS FLOAT)) "
+                "AS embedding "
+                f"FROM range({_CAP_N}) t(i)) u"
+            ),
         ),
         "simhash_documents": ot.simhash_sql(bits=32),
         "clean_documents": ot.clean_document_sql(

@@ -254,3 +254,14 @@ def test_rewrite_gap_error_names_restart_epoch(spark, table):
     # the documented recourse works: read from the rewrite epoch onward
     rows = table.read_changes(spark, from_epoch=2, to_epoch=3).collect()
     assert [r["change_type"] for r in rows] == ["insert"]
+
+    # multiple rewrites in range: the error names the EARLIEST one, so the
+    # hinted prefix (from_epoch, restart_epoch-1] is append-only on the
+    # first try — no iterated exceptions (round-3 advice)
+    table.compact(spark)  # epoch 4: second rewrite
+    _commit(table, spark, 5, [("c6", 0, "g", 7.0, 21, "U")], 14, 21)
+    with pytest.raises(ChangelogRewriteGap) as ei2:
+        table.read_changes(spark, from_epoch=0).collect()
+    assert ei2.value.restart_epoch == 2
+    # and the prefix hinted by the message is readable without raising
+    table.read_changes(spark, from_epoch=0, to_epoch=1).collect()

@@ -321,27 +321,68 @@ def test_minhash_max_bucket_size_drops_stopword_buckets(spark):
 
 
 def test_bucket_pairs_cap_is_on_by_default(spark):
-    """The too-common-bucket guard defaults ON: a bucket hotter than
-    DEFAULT_MAX_BUCKET_SIZE emits zero pairs unless the caller explicitly
-    opts out with max_bucket_size=None."""
+    """The too-common-bucket guard defaults ON at the PUBLIC API boundary
+    (round-3 verdict: the old version of this test exercised only the
+    private _bucket_pairs helper while both public entry points forwarded
+    max_bucket_size=None, silently disabling the cap for default callers).
+    An over-cap bucket — DEFAULT_MAX_BUCKET_SIZE+1 identical texts — must
+    emit ZERO pairs through minhash_near_dup_pairs with default arguments,
+    while small buckets keep their pairs."""
     from pyspark.sql import functions as F
 
     from transcript_cdc.functions.dedup_text import (
         DEFAULT_MAX_BUCKET_SIZE,
         _bucket_pairs,
+        minhash_near_dup_pairs,
     )
 
     n = DEFAULT_MAX_BUCKET_SIZE + 1
-    banded = spark.range(n).select(
-        F.lit(1).alias("bucket"), F.col("id")
+    common = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    over_cap = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(common).alias("text")
     )
-    assert _bucket_pairs(banded, ["id"]).count() == 0
-    small = spark.range(3).select(F.lit(1).alias("bucket"), F.col("id"))
-    assert _bucket_pairs(small, ["id"]).count() == 3  # 3 choose 2
+    # defaults only — this is exactly what a 100-TB caller of the
+    # documented API gets
+    assert minhash_near_dup_pairs(over_cap).count() == 0
+
+    small = spark.createDataFrame(
+        [(i, common) for i in range(3)], "doc_id long, text string"
+    )
+    assert minhash_near_dup_pairs(small).count() == 3  # 3 choose 2
+
+    # explicit opt-out still works (checked on the helper: materializing
+    # the n*(n-1)/2 public pairs is pointless work for the same assertion)
+    banded = spark.range(n).select(F.lit(1).alias("bucket"), F.col("id"))
     assert (
         _bucket_pairs(banded, ["id"], max_bucket_size=None).count()
         == n * (n - 1) // 2
     )
+
+
+def test_embedding_near_dup_cap_is_on_by_default(spark):
+    """Same public-boundary guarantee for embedding_near_dup_pairs: an
+    over-cap hyperplane bucket of identical vectors emits zero pairs with
+    default arguments; a small bucket keeps its pairs."""
+    from pyspark.sql import functions as F
+
+    from transcript_cdc.functions.dedup_text import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        embedding_near_dup_pairs,
+    )
+    from transcript_cdc.functions.vectors import make_planes
+
+    n = DEFAULT_MAX_BUCKET_SIZE + 1
+    planes = make_planes(4, 4)
+    vec = F.array(*[F.lit(x).cast("float") for x in (1.0, 0.5, -0.25, 2.0)])
+    over_cap = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    assert embedding_near_dup_pairs(over_cap, planes=planes).count() == 0
+
+    small = spark.range(3).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    assert embedding_near_dup_pairs(small, planes=planes).count() == 3
 
 
 def test_clean_document_empty_lines_and_whitespace(spark):

@@ -185,10 +185,15 @@ def minhash_near_dup_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     shingle_n: int = 3, k: int = 32, bands: int = 8, seed: int = 7,
     jaccard_threshold: float = 0.7, hash_fn: str = "xx64",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate pairs sharing an LSH band bucket, verified by estimated
     Jaccard (matching minhash fraction). Returns (id_a, id_b, est_jaccard).
+
+    ``max_bucket_size`` defaults to :data:`DEFAULT_MAX_BUCKET_SIZE` at this
+    public boundary too (not just the private helper): a default caller gets
+    the too-common-bucket guard, matching the DuckDB oracle twins. Pass
+    ``None`` to opt out explicitly for small-corpus exactness.
 
     Scale shape: explode to (bucket, id, sig) → ONE shuffle grouping by
     bucket → in-bucket pair generation (see _bucket_pairs). Never a full
@@ -309,10 +314,13 @@ def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
     planes: list | None = None, cosine_threshold: float = 0.95,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucket by hyperplane signature, exact
-    cosine within buckets. Same no-cross-join scale shape as minhash."""
+    cosine within buckets. Same no-cross-join scale shape as minhash.
+
+    ``max_bucket_size`` defaults to :data:`DEFAULT_MAX_BUCKET_SIZE` here at
+    the public boundary (pass ``None`` to opt out), matching the oracle."""
     from transcript_cdc.functions.vectors import cosine, hyperplane_signature, make_planes
 
     if planes is None:

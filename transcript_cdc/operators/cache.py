@@ -62,7 +62,9 @@ class LruCache:
         return value
 
     def __len__(self) -> int:
-        return len(self._d)
+        with self._lock:
+            return len(self._d)
 
     def __contains__(self, key: Hashable) -> bool:
-        return key in self._d
+        with self._lock:
+            return key in self._d

@@ -104,10 +104,14 @@ def _plan_key_ranges(files, key_col, max_bytes):
     entries: list[tuple[object, int]] = []  # (row-group max key, bytes)
     total = 0
     for f in files:
-        try:
-            md = _pq.read_metadata(f)
-        except Exception:
-            return [(None, None)]
+        # A read_metadata failure must PROPAGATE (Spark retries the task):
+        # every shard task of a chain must derive the IDENTICAL range
+        # list, and a transient-IO fallback to [(None, None)] would make
+        # shard 0 fold the whole chain (duplicate rows) or shard k>0 fold
+        # nothing (row loss). The [(None, None)] fallbacks below are
+        # reserved for DETERMINISTIC conditions (missing column/stats,
+        # empty files) that all shards agree on.
+        md = _pq.read_metadata(f)
         if md.num_row_groups == 0:
             continue
         idx = None
@@ -1274,7 +1278,11 @@ class MergeOnReadTable(ParquetSnapshotTable):
             e for e in in_range if not self.read_manifest(e).get("append")
         ]
         if rewrites:
-            raise ChangelogRewriteGap(rewrites[-1], in_range[0] - 1)
+            # earliest rewrite: the hinted prefix range
+            # (from_epoch, rewrites[0]-1] is then append-only on the first
+            # try — raising with the LAST rewrite would leave earlier ones
+            # inside the hinted range and force iterated exceptions.
+            raise ChangelogRewriteGap(rewrites[0], in_range[0] - 1)
         range_files: dict[str, list[str]] = {}
         for e in in_range:
             m = self.read_manifest(e)
