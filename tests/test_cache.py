@@ -40,6 +40,38 @@ def test_lru_evicts_oldest_and_recency_updates():
     assert len(c) == 3
 
 
+def test_cache_hit_launches_no_spark_job(spark):
+    """The J9 claim, measured in Spark jobs (round-3 verdict next #5a):
+    embedding_score's xx64 path pays ONE 1-row Spark job per query-embed
+    miss; a cache hit must launch ZERO new jobs (the reference's vector
+    store serves hits without touching OpenSearch,
+    vector_store.py:33-63)."""
+    from transcript_cdc.plans.search import embedding_score
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    cache = LruCache()
+    sc.setJobGroup("j9-probe", "cache job-count probe")
+    try:
+        embedding_score("text", "the probe query", dim=8, hash_fn="xx64",
+                        cache=cache)
+        n_after_miss = len(tracker.getJobIdsForGroup("j9-probe"))
+        assert n_after_miss >= 1  # the miss ran the 1-row embed job
+        assert (cache.hits, cache.misses) == (0, 1)
+
+        embedding_score("text", "the probe query", dim=8, hash_fn="xx64",
+                        cache=cache)
+        n_after_hit = len(tracker.getJobIdsForGroup("j9-probe"))
+        assert n_after_hit == n_after_miss  # hit ⇒ no new Spark job
+        assert cache.hits == 1
+
+        # no cache: every call pays the job again
+        embedding_score("text", "the probe query", dim=8, hash_fn="xx64")
+        assert len(tracker.getJobIdsForGroup("j9-probe")) > n_after_hit
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_correlations_cache_skips_point_lookup(spark):
     from pyspark.sql import functions as F  # noqa: F401
 

@@ -59,6 +59,53 @@ def fake_decode(payload: bytes | None, kind: str) -> list[float]:
     return [b / total for b in buckets]
 
 
+def wav_amplitude_decode(
+    payload: bytes | None, kind: str, n_features: int = 8
+) -> list[float]:
+    """REAL decoder for the audio kind, stdlib-only (`wave`): parse PCM WAV
+    bytes and emit ``n_features`` mean-|amplitude| features over equal time
+    slices of the first channel, normalized to [0, 1] by the int16 range.
+
+    This is the hermetic proof of the ``set_decoder`` contract (the
+    reference's embedder twin warms a real model per container,
+    ETL/batch_ecs/source/pipeline.py:47-50 — here the "model" is the
+    stdlib WAV parser). Per the contract it raises NotImplementedError for
+    kinds it cannot decode rather than guessing; image/video remain
+    stubbed in this container (no codec libs)."""
+    if kind != "audio":
+        raise NotImplementedError(
+            f"wav_amplitude_decode handles kind='audio', not {kind!r}"
+        )
+    if payload is None:
+        return [0.0] * n_features
+    import io
+    import sys
+    import wave
+    from array import array
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV is supported")
+        nch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    samples = array("h")
+    samples.frombytes(frames)
+    if sys.byteorder == "big":
+        samples.byteswap()  # WAV payloads are little-endian
+    if nch > 1:
+        samples = samples[::nch]
+    n = len(samples)
+    if n == 0:
+        return [0.0] * n_features
+    feats = []
+    for i in range(n_features):
+        lo = i * n // n_features
+        hi = max(lo + 1, (i + 1) * n // n_features)
+        seg = samples[lo:hi]
+        feats.append(sum(abs(int(s)) for s in seg) / (len(seg) * 32768.0))
+    return feats
+
+
 _DECODER: Callable[[bytes | None, str], list[float]] = fake_decode
 
 
