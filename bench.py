@@ -241,8 +241,13 @@ def main() -> None:
     )
     total0 = time.time()
     res = run_cdc_replay(spark, n_events, epochs=n_epochs, modes=modes)
-    cdc = res.get("cow") or res.get(modes[0])
-    cdc = dict(cdc, gen_seconds=res["gen_seconds"], oracle_seconds=res["oracle_seconds"])
+    # "cdc" is STRICTLY the cow replay and "cdc_mor" strictly mor — when a
+    # mode wasn't run its slot is None. (A BENCH_CDC_MODES=mor run used to
+    # fall back to cdc=mor, and bench/scaling.py then recorded MOR numbers
+    # under COW labels — silently corrupting the scaling evidence file.)
+    cdc = res.get("cow")
+    if cdc is not None:
+        cdc = dict(cdc, gen_seconds=res["gen_seconds"], oracle_seconds=res["oracle_seconds"])
     cdc_mor = res.get("mor")
 
     queries: dict[str, float] = {}
@@ -278,8 +283,12 @@ def main() -> None:
         "sf": sf,
         "cdc": cdc,
         "cdc_mor": cdc_mor,
+        "modes": list(modes),
         "cpus": int(cpus),
     }
+    if cdc is None:
+        out["gen_seconds"] = res["gen_seconds"]
+        out["oracle_seconds"] = res["oracle_seconds"]
     # Cross-round A/B (bench/ab.py — interleaved same-host comparison of
     # this code vs the previous round's, the only decision-grade signal on
     # this burst-throttled host). Embedded from its result file so the

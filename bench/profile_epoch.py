@@ -41,6 +41,7 @@ def run_replay(
     normalizer: str = "arrow",
     topology: str = "threads",
     epochs: int = 2,
+    conf: dict[str, str] | None = None,
 ) -> dict:
     from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
     from transcript_cdc.session import get_spark
@@ -62,6 +63,7 @@ def run_replay(
             "spark.eventLog.dir": log_dir,
             "spark.eventLog.compress": "false",
             "spark.eventLog.rolling.enabled": "false",
+            **(conf or {}),
         },
     )
     work = f"/dev/shm/profile_{mode}_{cores}"
@@ -215,7 +217,12 @@ def main() -> None:
              "single-core executor JVMs (the N→4N-executor shape)",
     )
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument(
+        "--conf", action="append", default=[],
+        help="extra Spark conf key=value (repeatable)",
+    )
     args = ap.parse_args()
+    conf = dict(kv.split("=", 1) for kv in args.conf)
 
     feed = args.feed
     if feed is None:
@@ -240,7 +247,7 @@ def main() -> None:
         r = run_replay(
             args.cores, feed, mode, log_dir,
             shuffle=args.shuffle, normalizer=args.normalizer,
-            topology=args.topology, epochs=args.epochs,
+            topology=args.topology, epochs=args.epochs, conf=conf,
         )
         logf = os.path.join(log_dir, r["app_id"])
         if not os.path.exists(logf):

@@ -1,0 +1,381 @@
+"""COW N→4N scaling at its DEPLOYMENT regime: pruned epochs over a hot set.
+
+Round-3 verdict (next #2): the recorded COW efficiency (0.37) was measured
+on FULL-TABLE merges — every epoch's key set spans the whole table, so
+every file is hot and each epoch rewrites the entire table (COW's declared
+worst case). The regime `plan_cow_merge` exists for is the deployment one:
+an epoch's batch touches a small, key-clustered hot set (recent
+conversations), file-granular pruning carries the cold files forward
+unread, and epoch cost tracks |hot files|, not |table|.
+
+This harness measures that regime on the executors topology:
+
+  1. Build a BASE table (untimed, identical layout at every level: fixed
+     n_buckets and base write_partitions, so both legs merge against the
+     same file structure). Base conversations: conv-00000000..conv-<B-1>.
+  2. Replay UPDATE epochs (timed): a second seeded stream over only the
+     first H conversations (H << B) — a contiguous lexicographic prefix of
+     the key space, so the hot keys cluster into few files per bucket
+     (range-clustered writes put each file on a tight conv_id interval).
+  3. Report sustained update-events/sec per level, N→4N efficiency, and
+     the measured file-prune selectivity (files_kept vs files_rewritten
+     from the epoch manifests) — the evidence that the timed epochs really
+     ran in the pruned regime.
+
+Protocol hygiene matches bench/scaling.py: one pre-generated feed pair,
+fresh pinned subprocess JVM per leg, mirrored interleaved leg order, per-
+leg host probe brackets, executors topology = local-cluster[N,1,mem] with
+the 2N+1-cpu constant-footprint pinning (see scaling.run_level docstring).
+
+Usage:
+  python bench/pruned_cow.py [--cores 1 4] [--base-events 2000000]
+      [--hot-convs 4000] [--update-events 1000000] [--epochs 4]
+      [--trials 2] [--topology executors] [--check]
+  python bench/pruned_cow.py --leg <cores> ...   (internal: one pinned leg)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "bench"))
+
+BASE_WRITE_PARTITIONS = 256  # base layout fixed across levels
+UPDATE_WRITE_PARTITIONS = 16
+N_BUCKETS = 32
+
+
+def build_feeds(
+    base_events: int, hot_convs: int, update_events: int, check: bool = False
+) -> dict:
+    """Base stream + hot-set update stream, shared across all legs.
+
+    The update stream is a second seeded StreamSpec over n_conversations =
+    hot_convs: its conv ids (conv-00000000..) are by construction the
+    lexicographic PREFIX of the base id space — the key-clustered hot set.
+    Its lsns are shifted past the base max so the two streams concatenate
+    into one WAL; replaying both through the dict oracle (--check) verifies
+    the pruned merge path end-to-end."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transcript_cdc.datagen import StreamSpec, generate_events, write_change_feed
+
+    tag = f"{base_events}_{hot_convs}_{update_events}{'_chk' if check else ''}"
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
+    d = os.path.join(base, f"pruned_cow_feed_{tag}")
+    done = os.path.join(d, "_COMPLETE")
+    if os.path.exists(done):
+        with open(done) as f:
+            return json.load(f)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    base_spec = StreamSpec(
+        n_conversations=max(100, int(base_events / (10 * 1.44))),
+        avg_turns=10, update_ratio=0.35, delete_ratio=0.08,
+        absent_delete_ratio=0.01, zipf_s=1.2, out_of_order_fraction=0.2,
+        evolution_at=0.6, seed=42,
+        events_per_file=max(50_000, base_events // 16),
+    )
+    info = write_change_feed(base_spec, d)
+    base_n = info["n_events"]
+
+    # hot-set update stream: all events land on the first hot_convs
+    # conversations. update_ratio is raised so most events revise existing
+    # turns (the CDC update shape); evolution_at=0 keeps the full schema.
+    upd_spec = StreamSpec(
+        n_conversations=hot_convs,
+        avg_turns=10,
+        update_ratio=max(0.35, update_events / max(1, hot_convs * 10) - 1.1),
+        delete_ratio=0.08, absent_delete_ratio=0.01, zipf_s=1.2,
+        out_of_order_fraction=0.2, evolution_at=0.0, seed=777,
+        events_per_file=update_events,
+    )
+    upd = generate_events(upd_spec)
+    if len(upd) > update_events:
+        upd = upd.iloc[:update_events].reset_index(drop=True)
+    upd["lsn"] = upd["lsn"] + base_n  # append past the base WAL
+    n_files = 4
+    rows = len(upd)
+    for i in range(n_files):
+        sl = upd.iloc[i * rows // n_files : (i + 1) * rows // n_files]
+        pq.write_table(
+            pa.Table.from_pandas(sl, preserve_index=False),
+            os.path.join(d, f"upd-{i:04d}.parquet"),
+            coerce_timestamps="us",
+        )
+    meta = {
+        "dir": d,
+        "base_events": int(base_n),
+        "update_events": int(rows),
+        "hot_convs": hot_convs,
+        "base_convs": base_spec.n_conversations,
+    }
+    with open(done, "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def run_leg_inproc(
+    cores: int, feed: dict, epochs: int, topology: str, check: bool
+) -> dict:
+    """One leg, already pinned by the parent: build base (untimed), replay
+    update epochs (timed), report throughput + prune selectivity."""
+    import shutil
+    import tempfile
+
+    from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
+    from transcript_cdc.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
+    if topology == "executors":
+        mem_mb = int(os.environ.get("SPARK_EXECUTOR_MEM_MB", "6144"))
+        master = f"local-cluster[{cores},1,{mem_mb}]"
+    else:
+        master = f"local[{cores}]"
+    shuffle = max(4 * cores, 8)
+    spark = get_spark(
+        f"pruned-cow-{cores}", master=master, shuffle_partitions=shuffle
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="pruned_cow_", dir="/dev/shm")
+    try:
+        root = os.path.join(work, "table")
+        base_cfg = IngestConfig(
+            n_buckets=N_BUCKETS,
+            epoch_events=feed["base_events"],
+            write_partitions=BASE_WRITE_PARTITIONS,
+            storage="cow",
+        )
+        t_base0 = time.time()
+        CdcIngestJob(spark, feed["dir"], root, base_cfg).run(max_epochs=1)
+        base_s = time.time() - t_base0
+
+        upd_cfg = IngestConfig(
+            n_buckets=N_BUCKETS,
+            epoch_events=feed["update_events"] // epochs + 1,
+            write_partitions=UPDATE_WRITE_PARTITIONS,
+            storage="cow",
+        )
+        job = CdcIngestJob(spark, feed["dir"], root, upd_cfg)
+        t0 = time.time()
+        results = job.run()
+        upd_s = time.time() - t0
+
+        # prune selectivity straight from the committed manifests
+        sel = []
+        for r in results:
+            m = job.table.read_manifest(r["epoch"]).get("metrics") or {}
+            sel.append(
+                {
+                    "epoch": r["epoch"],
+                    "seconds": r.get("seconds"),
+                    "keys": m.get("keys"),
+                    "files_rewritten": m.get("files_rewritten"),
+                    "files_kept": m.get("files_kept"),
+                    "control": m.get("control"),
+                }
+            )
+        secs = [r.get("seconds") for r in results if r.get("seconds")]
+        sustained = None
+        if len(secs) > 1:
+            ev_per_epoch = feed["update_events"] / len(secs)
+            sustained = round(ev_per_epoch * (len(secs) - 1) / sum(secs[1:]), 1)
+        out = {
+            "cores": cores,
+            "topology": topology,
+            "base_build_s": round(base_s, 2),
+            "update_wall_s": round(upd_s, 2),
+            "update_events": feed["update_events"],
+            "events_per_sec": round(feed["update_events"] / upd_s, 1),
+            "sustained_events_per_sec": sustained,
+            "epochs": sel,
+        }
+        if check:
+            out["equality_pass"] = _equality_check(spark, job, feed)
+        return out
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _equality_check(spark, job, feed: dict) -> bool:
+    """Final state vs the dict oracle over base+update streams in lsn
+    order — proves the pruned merge path converges exactly."""
+    import pandas as pd
+
+    from transcript_cdc.datagen import (
+        StreamSpec,
+        generate_events,
+        replay_oracle_fast,
+    )
+
+    base_spec = StreamSpec(
+        n_conversations=max(100, int(feed["base_events"] / (10 * 1.44))),
+        avg_turns=10, update_ratio=0.35, delete_ratio=0.08,
+        absent_delete_ratio=0.01, zipf_s=1.2, out_of_order_fraction=0.2,
+        evolution_at=0.6, seed=42,
+        events_per_file=max(50_000, feed["base_events"] // 16),
+    )
+    # regenerate both streams exactly as build_feeds did (seeded)
+    base_df = generate_events(base_spec)
+    upd_spec = StreamSpec(
+        n_conversations=feed["hot_convs"], avg_turns=10,
+        update_ratio=max(
+            0.35, feed["update_events"] / max(1, feed["hot_convs"] * 10) - 1.1
+        ),
+        delete_ratio=0.08, absent_delete_ratio=0.01, zipf_s=1.2,
+        out_of_order_fraction=0.2, evolution_at=0.0, seed=777,
+        events_per_file=feed["update_events"],
+    )
+    upd_df = generate_events(upd_spec)
+    if len(upd_df) > feed["update_events"]:
+        upd_df = upd_df.iloc[: feed["update_events"]].reset_index(drop=True)
+    upd_df["lsn"] = upd_df["lsn"] + len(base_df)
+    orc = replay_oracle_fast(
+        pd.concat([base_df, upd_df], ignore_index=True), normalize=True
+    )
+    eng = (
+        job.final_state(columns=["conv_id", "turn_idx", "text"])
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    if len(eng) != len(orc):
+        return False
+    for c in ("conv_id", "turn_idx", "text"):
+        a, b = eng[c], pd.Series(orc[c])
+        if not ((a == b) | (a.isna() & b.isna())).all():
+            return False
+    return True
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, nargs=2, default=[1, 4])
+    ap.add_argument("--base-events", type=int, default=2_000_000)
+    ap.add_argument("--hot-convs", type=int, default=4_000)
+    ap.add_argument("--update-events", type=int, default=1_000_000)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--topology", choices=["threads", "executors"],
+                    default="executors")
+    ap.add_argument("--check", action="store_true",
+                    help="run a small unpinned equality-checked leg first")
+    ap.add_argument("--leg", type=int, default=None,
+                    help="internal: run one leg at this core count")
+    args = ap.parse_args()
+
+    if args.leg is not None:
+        feed = build_feeds(args.base_events, args.hot_convs, args.update_events)
+        print(json.dumps(run_leg_inproc(
+            args.leg, feed, args.epochs, args.topology,
+            check=os.environ.get("PRUNED_CHECK") == "1",
+        )))
+        return
+
+    from scaling import gather_probe, hw_probe
+
+    if args.check:
+        # small, unpinned, equality-checked: proves the harness's pruned
+        # merge path converges to the dict oracle before any timed legs
+        feed = build_feeds(500_000, 1_000, 200_000, check=True)
+        res = run_leg_inproc(2, feed, 2, "threads", check=True)
+        print(json.dumps({"check_leg": res}), file=sys.stderr)
+        if not res.get("equality_pass"):
+            print(json.dumps({"error": "equality check failed"}))
+            return
+
+    feed = build_feeds(args.base_events, args.hot_convs, args.update_events)
+    lo, hi = args.cores
+    order: list[int] = []
+    for i in range(args.trials):
+        pair = [lo, hi] if i % 2 == 0 else [hi, lo]
+        order += pair
+    legs = []
+    for cores in order:
+        n_pin = 2 * cores + 1 if args.topology == "executors" else cores
+        probe = {
+            "procs": n_pin,
+            "alu_mops": hw_probe([n_pin], dur=6.0)[n_pin],
+            "gather_macc": gather_probe([n_pin], dur=6.0)[n_pin],
+        }
+        cpuset = set(range(n_pin))
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--leg", str(cores),
+            "--base-events", str(args.base_events),
+            "--hot-convs", str(args.hot_convs),
+            "--update-events", str(args.update_events),
+            "--epochs", str(args.epochs),
+            "--topology", args.topology,
+        ]
+        env = dict(os.environ)
+        env.setdefault("SPARK_DRIVER_MEMORY", "24g")
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True, env=env,
+            preexec_fn=lambda: os.sched_setaffinity(0, cpuset),
+        )
+        leg = json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+        leg["probe_before"] = probe
+        legs.append(leg)
+        print(json.dumps({"leg": {k: leg[k] for k in (
+            "cores", "events_per_sec", "sustained_events_per_sec",
+            "base_build_s", "update_wall_s")}}), file=sys.stderr)
+
+    def tput(leg):
+        return leg.get("sustained_events_per_sec") or leg["events_per_sec"]
+
+    best = {}
+    for leg in legs:
+        c = leg["cores"]
+        if c not in best or tput(leg) > tput(best[c]):
+            best[c] = leg
+    eff = round((tput(best[hi]) / tput(best[lo])) / (hi / lo), 3)
+    # prune selectivity over steady-state epochs of the best hi leg
+    sels = [
+        e for e in best[hi]["epochs"]
+        if e.get("files_rewritten") is not None
+    ]
+    selectivity = None
+    if sels:
+        rw = sum(e["files_rewritten"] for e in sels)
+        kp = sum(e["files_kept"] for e in sels)
+        selectivity = round(rw / max(1, rw + kp), 4)
+    result = {
+        "regime": "pruned-epoch cow (hot-prefix update stream)",
+        "topology": args.topology,
+        "cores": [lo, hi],
+        "base_events": feed["base_events"],
+        "update_events": feed["update_events"],
+        "hot_convs": feed["hot_convs"],
+        "base_convs": feed["base_convs"],
+        "epochs_per_leg": args.epochs,
+        "efficiency": eff,
+        "best": {str(k): v for k, v in best.items()},
+        "files_rewritten_fraction": selectivity,
+        "legs": legs,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    with open(os.path.join(REPO, "bench", "scaling_pruned_cow.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({
+        "efficiency": eff,
+        "files_rewritten_fraction": selectivity,
+        "lo_sustained": tput(best[lo]),
+        "hi_sustained": tput(best[hi]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

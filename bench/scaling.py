@@ -233,9 +233,10 @@ def run_level(
         f"local-cluster[{cores},1]" if topology == "executors" else f"local[{cores}]"
     )
     print(
-        f"  {label}: cow {res['cdc']['events_per_sec']:,.0f} ev/s, "
-        f"mor {res['cdc_mor']['events_per_sec']:,.0f} ev/s "
-        f"(sustained {_tput(res['cdc']):,.0f} / {_tput(res['cdc_mor']):,.0f})",
+        f"  {label}: " + ", ".join(
+            f"{m} {res[k]['events_per_sec']:,.0f} ev/s (sustained {_tput(res[k]):,.0f})"
+            for m, k in _mode_keys(res)
+        ),
         file=sys.stderr,
     )
     return res
@@ -264,20 +265,15 @@ def run_levels_interleaved(
     legs: list[dict] = []
     for cores in order:
         res = run_level(cores, events, 1, feed_dir, topology=topology)
-        legs.append(
-            {
-                "cores": cores,
-                "probe_before": res.get("probe_before"),
-                "cow_sustained": _tput(res["cdc"]),
-                "mor_sustained": _tput(res["cdc_mor"]),
-                "cow_epoch_seconds": res["cdc"].get("epoch_seconds"),
-                "mor_epoch_seconds": res["cdc_mor"].get("epoch_seconds"),
-            }
-        )
+        leg = {"cores": cores, "probe_before": res.get("probe_before")}
+        for m, k in _mode_keys(res):
+            leg[f"{m}_sustained"] = _tput(res[k])
+            leg[f"{m}_epoch_seconds"] = res[k].get("epoch_seconds")
+        legs.append(leg)
         if cores not in best:
             best[cores] = res
         else:
-            for key in ("cdc", "cdc_mor"):
+            for _m, key in _mode_keys(res):
                 if _tput(res[key]) > _tput(best[cores][key]):
                     best[cores][key] = res[key]
     best["legs"] = legs
@@ -287,6 +283,15 @@ def run_levels_interleaved(
 def _tput(d: dict) -> float:
     """Sustained events/sec when measured (>=2 epochs), else total."""
     return d.get("sustained_events_per_sec") or d["events_per_sec"]
+
+
+def _mode_keys(res: dict) -> list[tuple[str, str]]:
+    """(mode, result-key) pairs for the modes that actually ran — bench.py
+    leaves a mode's slot None when BENCH_CDC_MODES excluded it. Reporting
+    must never attribute one mode's numbers to the other."""
+    return [
+        (m, k) for m, k in (("cow", "cdc"), ("mor", "cdc_mor")) if res.get(k)
+    ]
 
 
 def profile_inflation(
@@ -374,7 +379,7 @@ def main() -> None:
                                      topology=args.topology)
 
     rows, effs, effs_total = [], {}, {}
-    for mode, key in (("cow", "cdc"), ("mor", "cdc_mor")):
+    for mode, key in _mode_keys(results[lo]):
         m_lo, m_hi = results[lo][key], results[hi][key]
         eff_total = (m_hi["events_per_sec"] / m_lo["events_per_sec"]) / ratio
         eff = (_tput(m_hi) / _tput(m_lo)) / ratio
@@ -386,7 +391,8 @@ def main() -> None:
             f" | {eff_total:.3f} | **{eff:.3f}** |"
         )
 
-    n_ev = results[lo]["cdc"]["events"]
+    k0 = _mode_keys(results[lo])[0][1]
+    n_ev = results[lo][k0]["events"]
     if prof is None:
         # executors topology: persist raw JSON; the narrative report is
         # assembled by hand in BENCH/BASELINE.md from all protocol legs
@@ -415,7 +421,7 @@ pass, and **scaling efficiency >= 0.8 from N to 4N executors**.
 
 No real cluster exists in this sandbox, so per the evidencing protocol the
 same job + same seeded input ({n_ev:,} change events,
-{results[lo]["cdc"]["epochs"]} epochs, Zipf-skewed conversations, 20%
+{results[lo][k0]["epochs"]} epochs, Zipf-skewed conversations, 20%
 out-of-order, mid-stream schema evolution) ran at two parallelism levels,
 N={lo} and 4N={hi} cores, in fresh JVMs — {args.trials} trials per level,
 legs INTERLEAVED in mirrored order (lo hi hi lo ...) and best-of taken per
@@ -478,7 +484,7 @@ efficiency x measured CPU inflation.
 
 "Sustained" excludes each run's epoch 0 (defense in depth: bench.py also
 runs a miniature per-mode warmup replay before the timer, so epoch 0 of a
-{results[lo]["cdc"]["epochs"]}-epoch slice carries at most residual
+{results[lo][k0]["epochs"]}-epoch slice carries at most residual
 first-touch cost rather than the full one-time JVM/codegen/Arrow-worker
 warmup a 10^10-event deployment amortizes to nothing). "Total"
 (whole-replay wall) is reported alongside; the graded figure is sustained.

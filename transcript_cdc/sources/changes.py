@@ -66,6 +66,13 @@ class ChangeFeed:
         # incremental footer-merge cache: (merged arrow schema, seen files)
         self._schema_seen: set[str] = set()
         self._schema_arrow = None
+        # analyzed-DataFrame cache: (frozenset of files, DataFrame). The
+        # epoch loop calls read_range once per epoch; rebuilding the scan
+        # re-lists the directory and re-creates the file index + analyzed
+        # relation every time (driver-serial wall). While the segment set
+        # is unchanged the SAME DataFrame (hence the same InMemoryFileIndex
+        # and analyzed plan subtree) is reused; new WAL files invalidate.
+        self._df_cache: tuple[frozenset, DataFrame] | None = None
 
     def _files(self) -> list[str]:
         import glob as _glob
@@ -109,6 +116,9 @@ class ChangeFeed:
     def read(self) -> DataFrame:
         """Whole feed, schema-merged across evolution points (additive-only,
         per the engine's evolution contract — schemas.additive_diff)."""
+        files_key = frozenset(self._files())
+        if self._df_cache is not None and self._df_cache[0] == files_key:
+            return self._df_cache[1]
         try:
             schema = self._merged_schema()
         except Exception:
@@ -136,7 +146,9 @@ class ChangeFeed:
                     for f in schema.fields
                 ]
             )
-        return self.spark.read.schema(schema).parquet(self.path)
+        df = self.spark.read.schema(schema).parquet(self.path)
+        self._df_cache = (files_key, df)
+        return df
 
     def read_range(self, lsn_lo_excl: int, lsn_hi_incl: int) -> DataFrame:
         """One epoch's slice: lsn in (lo, hi]. Pushed to the scan."""
