@@ -68,7 +68,7 @@ def build_feeds(
 
     from transcript_cdc.datagen import StreamSpec, generate_events, write_change_feed
 
-    tag = f"{base_events}_{hot_convs}_{update_events}{'_chk' if check else ''}"
+    tag = f"v2_{base_events}_{hot_convs}_{update_events}{'_chk' if check else ''}"
     base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else "/tmp"
     d = os.path.join(base, f"pruned_cow_feed_{tag}")
     done = os.path.join(d, "_COMPLETE")
@@ -116,6 +116,11 @@ def build_feeds(
         "dir": d,
         "base_events": int(base_n),
         "update_events": int(rows),
+        # the REQUESTED sizes, not the actual counts: the seeded specs are
+        # parameterized by these, so the equality oracle must rebuild from
+        # them (rebuilding from actual counts yields a different stream)
+        "base_events_requested": int(base_events),
+        "update_events_requested": int(update_events),
         "hot_convs": hot_convs,
         "base_convs": base_spec.n_conversations,
     }
@@ -218,27 +223,30 @@ def _equality_check(spark, job, feed: dict) -> bool:
         replay_oracle_fast,
     )
 
+    base_req = feed["base_events_requested"]
+    upd_req = feed["update_events_requested"]
     base_spec = StreamSpec(
-        n_conversations=max(100, int(feed["base_events"] / (10 * 1.44))),
+        n_conversations=max(100, int(base_req / (10 * 1.44))),
         avg_turns=10, update_ratio=0.35, delete_ratio=0.08,
         absent_delete_ratio=0.01, zipf_s=1.2, out_of_order_fraction=0.2,
         evolution_at=0.6, seed=42,
-        events_per_file=max(50_000, feed["base_events"] // 16),
+        events_per_file=max(50_000, base_req // 16),
     )
-    # regenerate both streams exactly as build_feeds did (seeded)
+    # regenerate both streams exactly as build_feeds did (seeded, from the
+    # REQUESTED sizes — the specs were parameterized by those)
     base_df = generate_events(base_spec)
     upd_spec = StreamSpec(
         n_conversations=feed["hot_convs"], avg_turns=10,
         update_ratio=max(
-            0.35, feed["update_events"] / max(1, feed["hot_convs"] * 10) - 1.1
+            0.35, upd_req / max(1, feed["hot_convs"] * 10) - 1.1
         ),
         delete_ratio=0.08, absent_delete_ratio=0.01, zipf_s=1.2,
         out_of_order_fraction=0.2, evolution_at=0.0, seed=777,
-        events_per_file=feed["update_events"],
+        events_per_file=upd_req,
     )
     upd_df = generate_events(upd_spec)
-    if len(upd_df) > feed["update_events"]:
-        upd_df = upd_df.iloc[: feed["update_events"]].reset_index(drop=True)
+    if len(upd_df) > upd_req:
+        upd_df = upd_df.iloc[:upd_req].reset_index(drop=True)
     upd_df["lsn"] = upd_df["lsn"] + len(base_df)
     orc = replay_oracle_fast(
         pd.concat([base_df, upd_df], ignore_index=True), normalize=True
