@@ -131,6 +131,33 @@ def test_pruned_equals_full_rewrite(spark, feed, tmp_path):
     assert m1["metrics"]["files_kept"] == 0
 
 
+def test_mispredict_after_backfill_recovers_pruning(spark, feed, tmp_path):
+    """The first incremental epoch after an over-cap backfill must NOT
+    degenerate to a full-table rewrite. The lagged gate predicts over-cap
+    (the backfill manifest's key count), so the epoch enters the observe
+    path — but the observation proves the batch IS collectable, and the
+    recovery aggregate (control='observe-collect') restores file-granular
+    pruning. Before the fix this scenario rewrote every touched bucket in
+    full: O(table) for one stale prediction."""
+    cfg = IngestConfig(
+        n_buckets=8, epoch_events=feed["n1"], write_partitions=16,
+        file_prune_max_keys=50,  # backfill (800 rows) is over-cap
+    )
+    job = CdcIngestJob(spark, feed["dir"], str(tmp_path / "t"), cfg)
+    job.run()
+    epochs = job.table.committed_epochs()
+    assert len(epochs) == 2
+    m1 = job.table.read_manifest(epochs[-1])["metrics"]
+    assert m1["control"] == "observe-collect"
+    assert m1["files_kept"] > 0, "mispredicted epoch full-rewrote the table"
+    assert m1["files_rewritten"] <= len(HOT_CONVS)
+    state = _final(job)
+    assert len(state) == N_CONVS * TURNS
+    for c in HOT_CONVS:
+        texts = state[state.conv_id == c]["text"].tolist()
+        assert all(t.startswith("updated") for t in texts)
+
+
 def test_oversized_batch_falls_back(spark, feed, tmp_path):
     cfg = IngestConfig(
         n_buckets=8, epoch_events=feed["n1"], write_partitions=8,

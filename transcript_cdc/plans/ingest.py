@@ -295,8 +295,10 @@ class CdcIngestJob:
             # count predicts whether this batch's key set is collectable at
             # all — when it isn't, skip the key-list aggregation entirely
             # instead of computing per-bucket sets that would be discarded.
-            # A misprediction costs one epoch of capped extra transfer
-            # (the slice bound below), then the gate re-engages.
+            # Mispredict cost is bounded in both directions: under-predict
+            # pays one epoch of capped extra transfer (the slice bound
+            # below); over-predict is recovered in the observe path below
+            # (one aggregate over the cached batch), never a full rewrite.
             last_keys = int(
                 ((self.table.last_committed() or {}).get("metrics") or {}).get(
                     "keys"
@@ -363,6 +365,38 @@ class CdcIngestJob:
                 n_deletes = int(om.get("deletes") or 0)
                 touched = sorted(int(b) for b in (om.get("buckets") or []))
                 control = "observe-count"
+                if (
+                    self.cfg.file_granular_cow
+                    and 0 < n_keys <= lim
+                    and self.table.has_live_files()
+                ):
+                    # Lag-mispredict recovery: the observation just proved
+                    # this batch's key set IS collectable even though the
+                    # previous manifest's count said otherwise (the canonical
+                    # case: the first incremental epoch after a large
+                    # backfill). Without this, keys_by_bucket=None makes
+                    # plan_cow_merge rewrite every touched bucket IN FULL —
+                    # a full-table rewrite at 10^10 scale for one stale
+                    # prediction. One aggregate over the already-cached
+                    # batch buys the file pruning back.
+                    brows = (
+                        batch.groupBy(BUCKET_COL)
+                        .agg(
+                            F.slice(
+                                F.sort_array(F.collect_set(F.col(key_col))),
+                                1,
+                                lim + 1,
+                            ).alias("key_list")
+                        )
+                        .collect()
+                    )
+                    keys_by_bucket = {
+                        str(int(r[BUCKET_COL])): list(r["key_list"])
+                        for r in brows
+                        if r["key_list"] is not None
+                        and len(r["key_list"]) <= lim
+                    }
+                    control = "observe-collect"
             if n_keys == 0:
                 self.table.commit_epoch(
                     epoch,
