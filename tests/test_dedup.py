@@ -52,6 +52,42 @@ def test_lww_order_robust_to_input_order(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_lww_aggregate_strategy_equivalent(spark):
+    """The max_by aggregate strategy (partial map-side combine — the CDC
+    ingest path) must produce byte-identical output to the window strategy
+    on unique-lsn input, including surviving delete ops, null payload
+    fields, and column order."""
+    rows = [
+        (
+            i,
+            ["I", "U", "D"][i % 3],
+            f"c{i % 7}",
+            i % 4,
+            None if i % 5 == 0 else f"t{i}",
+        )
+        for i in range(500)
+    ]
+    df = _changes(spark, rows).repartition(8)
+    a = lww_dedup(df, strategy="window")
+    b = lww_dedup(df, strategy="aggregate")
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_lww_aggregate_plan_has_partial_aggregate(spark):
+    """The aggregate strategy's whole point is the map-side partial
+    combine before the exchange; pin that plan shape."""
+    df = _changes(spark, [(1, "I", "c1", 0, "a"), (2, "U", "c1", 0, "b")])
+    plan = (
+        lww_dedup(df, strategy="aggregate")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max_by" in plan.lower() or "Partial" in plan, plan
+    assert "row_number" not in plan
+
+
 def test_union_dedup_keeps_max_score(spark):
     a = spark.createDataFrame([(1, 0.5), (2, 0.9)], "id long, score double")
     b = spark.createDataFrame([(1, 0.8), (3, 0.1)], "id long, score double")

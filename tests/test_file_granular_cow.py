@@ -171,6 +171,37 @@ def test_oversized_batch_falls_back(spark, feed, tmp_path):
     assert len(state) == N_CONVS * TURNS
 
 
+def test_auto_dedup_strategy_gates_on_key_bound(spark, feed, tmp_path):
+    """cfg.dedup_strategy='auto' must pick the shuffle-free broadcast LWW
+    plan whenever the winner key set is provably or lag-predictably under
+    broadcast_max_rows, record the choice in the manifest, and fall back
+    to the window plan past the gate."""
+    job = CdcIngestJob(
+        spark, feed["dir"], str(tmp_path / "t"),
+        IngestConfig(n_buckets=4, epoch_events=feed["n1"], write_partitions=4),
+    )
+    job.run()
+    ms = [
+        job.table.read_manifest(e)["metrics"]
+        for e in job.table.committed_epochs()
+    ]
+    # epoch_events <= broadcast_max_rows → provably broadcastable
+    assert all(m["dedup"] == "broadcast" for m in ms)
+
+    # lag gate arithmetic (no Spark work): big epochs consult the previous
+    # manifest's post-dedup key count
+    job.cfg.epoch_events = 10_000_000
+    job.table.last_committed = lambda: {"metrics": {"keys": 500_000}}
+    assert job._pick_dedup_strategy() == "broadcast"
+    job.table.last_committed = lambda: {"metrics": {"keys": 3_000_000}}
+    assert job._pick_dedup_strategy() == "window"
+    job.table.last_committed = lambda: None  # fresh table, big epoch
+    assert job._pick_dedup_strategy() == "window"
+    job.cfg.dedup_strategy = "window"  # explicit override wins
+    job.cfg.epoch_events = 100
+    assert job._pick_dedup_strategy() == "window"
+
+
 def test_fragmented_bucket_self_compacts(spark, tmp_path):
     """Many tiny epochs fragment buckets; once a bucket passes
     max_files_per_bucket the next epoch rewrites it whole, so file counts

@@ -101,6 +101,12 @@ class IngestConfig:
     # Self-compaction bound: a bucket fragmented past this many files is
     # rewritten in full, so partial rewrites can't grow file counts forever.
     max_files_per_bucket: int = 64
+    # LWW dedup strategy (operators/dedup.py): "auto" picks "broadcast"
+    # (winner max-lsn set built from a column-pruned scan + broadcast semi
+    # join — the full-payload batch is never shuffled) when the epoch's key
+    # set is provably or lag-predictably under broadcast_max_rows, else
+    # "window". "window"/"broadcast"/"aggregate" force one strategy.
+    dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
 
@@ -138,6 +144,7 @@ class CdcIngestJob:
                 f"{self.cfg.storage!r}"
             )
         self.control = JobControl(table_root)
+        self._last_dedup_strategy = "window"  # set per-epoch in prepare_batch
 
     # ---------- resume ----------
 
@@ -158,7 +165,9 @@ class CdcIngestJob:
         normalizing only the surviving rows is equivalent and sends ~30%
         fewer rows through the Arrow python workers (update/delete losers
         never cross the JVM↔Arrow boundary)."""
-        batch = lww_dedup(batch, schemas.KEY_COLS, schemas.LSN_COL)
+        batch = lww_dedup(
+            batch, schemas.KEY_COLS, schemas.LSN_COL, self._dedup_strategy()
+        )
         if self.cfg.normalize and "text" in batch.columns:
             norm = (
                 normalize_text("text")
@@ -169,6 +178,39 @@ class CdcIngestJob:
         return batch.withColumn(
             BUCKET_COL, bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"])
         )
+
+    def _dedup_strategy(self) -> str:
+        """Pick the LWW dedup plan for this epoch (cfg.dedup_strategy).
+
+        "auto" chooses "broadcast" — the full-payload batch is never
+        shuffled; only |distinct keys| narrow rows move — when the winner
+        key set is bounded: provably (the LSN window admits at most
+        epoch_events rows) or lag-predictably (the previous epoch's
+        post-dedup key count, same lagged-predictor shape as the salt and
+        the control-path gate; CDC epoch key counts are stable under a
+        fixed LSN window). A mispredict costs one oversized broadcast
+        (bounded by the epoch's row count), never a wrong result — lsn
+        uniqueness makes all strategies value-identical. Falls back to
+        "window" (full shuffle + sort, no key-set bound) past the gate."""
+        strategy = self._pick_dedup_strategy()
+        self._last_dedup_strategy = strategy
+        return strategy
+
+    def _pick_dedup_strategy(self) -> str:
+        if self.cfg.dedup_strategy != "auto":
+            return self.cfg.dedup_strategy
+        cap = self.cfg.broadcast_max_rows
+        if self.cfg.epoch_events <= cap:
+            return "broadcast"
+        last_keys = int(
+            ((self.table.last_committed() or {}).get("metrics") or {}).get(
+                "keys"
+            )
+            or 0
+        )
+        if 0 < last_keys * 2 <= cap:
+            return "broadcast"
+        return "window"
 
     def run_epoch(self, epoch: int, lsn_lo_excl: int, lsn_hi_incl: int) -> dict:
         """Process one LSN window; returns the commit metrics dict.
@@ -244,6 +286,7 @@ class CdcIngestJob:
             "heavy_hitters": hh[:5],
             "salt": salt,
             "salt_source": salt_source,
+            "dedup": self._last_dedup_strategy,
             "duration_prepare_s": round(time.time() - t0, 3),
         }
         committed = self.table.commit_epoch(
@@ -482,6 +525,7 @@ class CdcIngestJob:
                 "files_rewritten": n_hot,
                 "files_kept": n_kept,
                 "control": control,
+                "dedup": self._last_dedup_strategy,
                 "duration_prepare_s": round(time.time() - t0, 3),
             }
             committed = self.table.commit_epoch(
