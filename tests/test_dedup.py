@@ -74,6 +74,29 @@ def test_lww_aggregate_strategy_equivalent(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_lww_broadcast_strategy_equivalent(spark):
+    """The broadcast strategy (winner max-lsn set from a column-pruned
+    scan, semi-joined back as a broadcast — the high-churn CDC ingest
+    path) must produce value-identical output to the window strategy on
+    unique-lsn input, including surviving delete ops and null payload
+    fields."""
+    rows = [
+        (
+            i,
+            ["I", "U", "D"][i % 3],
+            f"c{i % 7}",
+            i % 4,
+            None if i % 5 == 0 else f"t{i}",
+        )
+        for i in range(500)
+    ]
+    df = _changes(spark, rows).repartition(8)
+    a = lww_dedup(df, strategy="window")
+    b = lww_dedup(df, strategy="broadcast")
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_lww_aggregate_plan_has_partial_aggregate(spark):
     """The aggregate strategy's whole point is the map-side partial
     combine before the exchange; pin that plan shape."""

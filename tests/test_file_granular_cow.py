@@ -171,11 +171,17 @@ def test_oversized_batch_falls_back(spark, feed, tmp_path):
     assert len(state) == N_CONVS * TURNS
 
 
-def test_auto_dedup_strategy_gates_on_key_bound(spark, feed, tmp_path):
+def test_auto_dedup_strategy_gates_on_churn(spark, feed, tmp_path):
     """cfg.dedup_strategy='auto' must pick the shuffle-free broadcast LWW
-    plan whenever the winner key set is provably or lag-predictably under
-    broadcast_max_rows, record the choice in the manifest, and fall back
-    to the window plan past the gate."""
+    plan only when the LAGGED key count predicts both a broadcastable
+    winner set (keys*2 <= broadcast_max_rows) and real churn collapse
+    (keys*4 <= epoch_events); everything else — including the first epoch,
+    which has no lag signal — falls back to the window plan. A/B-measured:
+    broadcast on a low-churn (mostly-insert) feed is ~2x SLOWER than the
+    window (the winner set ~= the batch, so the build's driver
+    collect+rebroadcast buys nothing), while high-churn feeds measure
+    2.4x faster — the gate must encode the win condition, not just a
+    key-set bound."""
     job = CdcIngestJob(
         spark, feed["dir"], str(tmp_path / "t"),
         IngestConfig(n_buckets=4, epoch_events=feed["n1"], write_partitions=4),
@@ -185,21 +191,56 @@ def test_auto_dedup_strategy_gates_on_key_bound(spark, feed, tmp_path):
         job.table.read_manifest(e)["metrics"]
         for e in job.table.committed_epochs()
     ]
-    # epoch_events <= broadcast_max_rows → provably broadcastable
-    assert all(m["dedup"] == "broadcast" for m in ms)
+    # this feed is low-churn (~1 event/key): every epoch must choose the
+    # window plan — the first for lack of a lag signal, the rest because
+    # the lagged key count shows no collapse
+    assert all(m["dedup"] == "window" for m in ms)
 
-    # lag gate arithmetic (no Spark work): big epochs consult the previous
-    # manifest's post-dedup key count
+    # lag gate arithmetic (no Spark work): both bounds must hold
     job.cfg.epoch_events = 10_000_000
     job.table.last_committed = lambda: {"metrics": {"keys": 500_000}}
-    assert job._pick_dedup_strategy() == "broadcast"
+    assert job._pick_dedup_strategy() == "broadcast"  # churn 20x, keys < cap
     job.table.last_committed = lambda: {"metrics": {"keys": 3_000_000}}
+    assert job._pick_dedup_strategy() == "window"  # winner set over cap
+    job.cfg.epoch_events = 1_000_000
+    job.table.last_committed = lambda: {"metrics": {"keys": 800_000}}
+    assert job._pick_dedup_strategy() == "window"  # churn ~1.25: no collapse
+    job.table.last_committed = lambda: {"metrics": {"keys": 250_000}}
+    assert job._pick_dedup_strategy() == "broadcast"  # churn 4x, keys < cap
+    job.table.last_committed = lambda: None  # fresh table: no lag signal
     assert job._pick_dedup_strategy() == "window"
-    job.table.last_committed = lambda: None  # fresh table, big epoch
-    assert job._pick_dedup_strategy() == "window"
-    job.cfg.dedup_strategy = "window"  # explicit override wins
+    job.cfg.dedup_strategy = "broadcast"  # explicit override wins
+    assert job._pick_dedup_strategy() == "broadcast"
+    job.cfg.dedup_strategy = "window"
     job.cfg.epoch_events = 100
     assert job._pick_dedup_strategy() == "window"
+
+
+def test_forced_broadcast_dedup_ingest_matches_window(spark, feed, tmp_path):
+    """End-to-end: an ingest run forced onto the broadcast LWW plan must
+    converge to the exact same final table state as the window plan (lsn
+    uniqueness makes the strategies value-identical — this pins it through
+    the full epoch loop, manifests included)."""
+    base = IngestConfig(
+        n_buckets=4, epoch_events=feed["n1"], write_partitions=4
+    )
+    jw = CdcIngestJob(spark, feed["dir"], str(tmp_path / "w"), base)
+    jw.run()
+    jb = CdcIngestJob(
+        spark, feed["dir"], str(tmp_path / "b"),
+        IngestConfig(
+            n_buckets=4, epoch_events=feed["n1"], write_partitions=4,
+            dedup_strategy="broadcast",
+        ),
+    )
+    jb.run()
+    mb = [
+        jb.table.read_manifest(e)["metrics"]
+        for e in jb.table.committed_epochs()
+    ]
+    assert all(m["dedup"] == "broadcast" for m in mb)
+    sw, sb = _final(jw), _final(jb)
+    pd.testing.assert_frame_equal(sw, sb)
 
 
 def test_fragmented_bucket_self_compacts(spark, tmp_path):

@@ -73,7 +73,7 @@ def lww_dedup(
         winners = df.groupBy(*key_cols).agg(F.max(order_col).alias(order_col))
         return df.join(
             F.broadcast(winners), [*key_cols, order_col], "left_semi"
-        )
+        ).select(*df.columns)  # the semi join moves join keys first; restore
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
