@@ -694,6 +694,7 @@ class ParquetSnapshotTable:
         )
         bucket_counts: dict[str, int] = {}
         file_stats: dict[str, dict] = {}
+        t_stats = time.time()
         if os.path.isdir(epoch_dir):
             for entry in os.listdir(epoch_dir):
                 if not entry.startswith(f"{BUCKET_COL}="):
@@ -767,6 +768,11 @@ class ParquetSnapshotTable:
             "metrics": {
                 **(metrics or {}),
                 "write_seconds": round(write_s, 3),
+                # Driver-serial commit bookkeeping (file inventory + footer
+                # stat reads, threaded): recorded so sched_gap decomposes
+                # from the manifests alone — epoch wall = prepare + write
+                # (Catalyst planning + stages) + stats + manifest I/O.
+                "commit_stats_seconds": round(time.time() - t_stats, 3),
                 "touched_buckets": len(touched_buckets),
                 "bucket_rows": bucket_counts,
             },
