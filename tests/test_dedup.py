@@ -111,6 +111,28 @@ def test_lww_aggregate_plan_has_partial_aggregate(spark):
     assert "row_number" not in plan
 
 
+def test_lww_broadcast_plan_never_shuffles_payload(spark):
+    """The broadcast strategy's contract: the full-payload batch side
+    reaches the semi join with NO exchange — only the column-pruned
+    winner aggregate shuffles (narrow rows), then broadcasts back. Pin
+    the plan: a BroadcastHashJoin LeftSemi whose streamed side has no
+    hash-partition exchange above the scan."""
+    df = _changes(spark, [(1, "I", "c1", 0, "a"), (2, "U", "c1", 0, "b")])
+    plan = (
+        lww_dedup(df, strategy="broadcast")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # exactly one hash-partition exchange (the winner groupBy); the
+    # payload side must contribute none
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "row_number" not in plan
+
+
 def test_union_dedup_keeps_max_score(spark):
     a = spark.createDataFrame([(1, 0.5), (2, 0.9)], "id long, score double")
     b = spark.createDataFrame([(1, 0.8), (3, 0.1)], "id long, score double")
