@@ -249,7 +249,10 @@ class CdcIngestJob:
         deletes as tombstones). No snapshot read, no merge join, no rewrite —
         write cost is O(batch) regardless of table size; readers fold LWW.
 
-        ONE Spark job per epoch — the observed write. Round 1 ran three
+        ONE Spark action per epoch — the observed write (AQE materializes
+        it as ~3 query-stage jobs; steady-state driver gap before the
+        first of them measures 0.55-0.65 s — bench/profile_epoch.py,
+        PROFILE_JOBS=1). Round 1 ran three
         driver-serial control jobs before it (persist materialization,
         per-bucket count collect, heavy-hitter probe; measured ~0.1-1s of
         un-parallelizable wall each). All three are folded away:
