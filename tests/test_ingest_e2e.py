@@ -166,6 +166,10 @@ def test_manifests_carry_lineage(spark, feed, tmp_path):
     m = json.load(open(manifests[0]))
     assert {"epoch", "lsn_lo", "lsn_hi", "schema", "buckets", "metrics"} <= set(m)
     assert m["metrics"]["keys"] > 0
+    # per-epoch wall decomposes from the manifest alone (BENCH/BASELINE.md
+    # round-4 sched_gap decomposition relies on these)
+    assert m["metrics"]["write_seconds"] >= 0
+    assert m["metrics"]["commit_stats_seconds"] >= 0
     assert isinstance(m["buckets"], dict) and len(m["buckets"]) > 0
     # lsn ranges tile the feed without overlap
     ranges = [
