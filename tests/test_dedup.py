@@ -141,3 +141,83 @@ def test_union_dedup_keeps_max_score(spark):
         for r in union_dedup(a, b, ["id"], "score", tiebreak=F.col("id")).collect()
     }
     assert out == {1: 0.8, 2: 0.9, 3: 0.1}
+
+
+def test_lww_clustered_strategy_equivalent(spark):
+    """lww_dedup_clustered (window over the write clustering, keep-last
+    via lead) must produce value-identical output to the key window on a
+    skewed, out-of-order feed with deletes — including when the cluster
+    is (bucket, salt) with the salt derived from the full key."""
+    import random
+
+    from transcript_cdc.operators.dedup import lww_dedup_clustered
+
+    rng = random.Random(7)
+    rows = []
+    for lsn in range(3000):
+        conv = f"c{int(rng.paretovariate(1.2)) % 37}"
+        rows.append(
+            (
+                lsn,
+                rng.choice(["I", "U", "U", "U", "D"]),
+                conv,
+                rng.randrange(6),
+                f"text {lsn} {conv}",
+            )
+        )
+    rng.shuffle(rows)
+    df = _changes(spark, rows).withColumn(
+        "__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+    )
+    want = sorted(map(tuple, lww_dedup(df, strategy="window").collect()))
+
+    got = sorted(
+        map(
+            tuple,
+            lww_dedup_clustered(
+                df.repartition(4, "__bucket"), cluster_cols=["__bucket"]
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # salted clustering: salt key is a function of the FULL key, so key
+    # groups stay co-located and LWW stays exact
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(3))
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            lww_dedup_clustered(
+                salted.repartition(4, "__bucket", "__salt"),
+                cluster_cols=["__bucket", "__salt"],
+            )
+            .drop("__salt")
+            .collect(),
+        )
+    )
+    assert got2 == want
+
+
+def test_lww_clustered_single_exchange_serves_dedup_and_write_sort(spark):
+    """The clustered strategy's contract: dedup rides the sink's
+    clustering exchange — the whole dedup+write-layout pipeline plans
+    exactly ONE exchange, and the window adds no sort beyond the
+    (cluster, key, lsn) sort the writer needs (plan shape pinned)."""
+    import re
+
+    from transcript_cdc.operators.dedup import lww_dedup_clustered
+
+    df = _changes(
+        spark, [(1, "I", "c1", 0, "a"), (2, "U", "c1", 0, "b")]
+    ).withColumn("__bucket", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int"))
+    out = lww_dedup_clustered(
+        df.repartition(4, "__bucket"), cluster_cols=["__bucket"]
+    ).sortWithinPartitions("__bucket", "conv_id", "turn_idx", "lsn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    # one sort total: the window's required (cluster, key, lsn) ordering
+    # IS the write layout, so the trailing sortWithinPartitions is elided
+    assert len(re.findall(r"\bSort \[", plan)) == 1, plan
+    assert "row_number" not in plan

@@ -396,3 +396,39 @@ def test_point_read_prunes_to_one_bucket(spark, feed, tmp_path):
         all_files = {f for fl in state.values() for f in fl}
         bucket_files = set(state.get(str(b), []))
         assert bucket_files and bucket_files < all_files
+
+
+def test_mor_auto_picks_clustered_and_matches_forced_window(spark, feed, tmp_path):
+    """MOR's auto dedup default is the single-exchange clustered window
+    (the dedup rides the write-clustering shuffle). Every epoch manifest
+    must record it, and the final state must be byte-equal to a replay
+    forced onto the classic two-exchange window plan — including across
+    this feed's mid-stream schema evolution, deletes and 30% out-of-order
+    events. COW must refuse the strategy (it has no clustered sink
+    exchange to piggyback on)."""
+    jc = CdcIngestJob(
+        spark, feed["dir"], str(tmp_path / "c"),
+        IngestConfig(n_buckets=8, epoch_events=400, storage="mor"),
+    )
+    jc.run()
+    ms = [jc.table.read_manifest(e)["metrics"] for e in jc.table.committed_epochs()]
+    assert ms and all(m["dedup"] == "clustered" for m in ms)
+    _assert_equal(_engine_state(jc), feed["oracle"])
+
+    jw = CdcIngestJob(
+        spark, feed["dir"], str(tmp_path / "w"),
+        IngestConfig(
+            n_buckets=8, epoch_events=400, storage="mor",
+            dedup_strategy="window",
+        ),
+    )
+    jw.run()
+    mw = [jw.table.read_manifest(e)["metrics"] for e in jw.table.committed_epochs()]
+    assert mw and all(m["dedup"] == "window" for m in mw)
+    pd.testing.assert_frame_equal(_engine_state(jc), _engine_state(jw))
+
+    with pytest.raises(ValueError, match="clustered"):
+        CdcIngestJob(
+            spark, feed["dir"], str(tmp_path / "bad"),
+            IngestConfig(storage="cow", dedup_strategy="clustered"),
+        )

@@ -257,3 +257,19 @@ def test_resolved_read_column_projection(spark, mor_job):
 
     with pytest.raises(ValueError, match="unknown columns"):
         t.read_resolved(spark, columns=["conv_id", "nope"]).collect()
+
+
+def test_mor_epoch_plan_single_full_payload_exchange(spark, mor_job):
+    """The whole MOR epoch write plan (scan → clustered LWW dedup →
+    normalize → observe → sort → sink) must contain exactly ONE exchange:
+    the write-clustering repartition the dedup window piggybacks on
+    (operators/dedup.lww_dedup_clustered — round-4 single-exchange epoch).
+    mor_job has already replayed, so _last_epoch_plan is its final
+    epoch's pre-write DataFrame."""
+    import re
+
+    plan = (
+        mor_job._last_epoch_plan._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange", plan)) == 1, plan
+    assert "lead(" in plan and "row_number" not in plan, plan

@@ -6,7 +6,10 @@ batch_ecs containers): read committed-offset ledger → scan the WAL slice →
 Arrow-normalize text → within-batch LWW dedup → bucket + salt → MERGE
 against the touched snapshot buckets → atomically commit data + manifest.
 
-Per-epoch dataflow (shuffles annotated — there are exactly two):
+Per-epoch dataflow (shuffles annotated). MOR epochs run ONE full-payload
+shuffle: the default ``clustered`` LWW strategy windows over the write
+clustering (bucket[, salt]) so the dedup and the sink repartition are the
+same exchange (operators/dedup.lww_dedup_clustered). COW epochs:
 
   changes(lsn∈(lo,hi])              parquet scan, lsn range pushed down
     → normalize_text (Arrow)        narrow
@@ -46,7 +49,7 @@ from pyspark.sql import functions as F
 
 from transcript_cdc import schemas
 from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
-from transcript_cdc.operators.dedup import lww_dedup
+from transcript_cdc.operators.dedup import lww_dedup, lww_dedup_clustered
 from transcript_cdc.operators.merge import merge_apply
 from transcript_cdc.plans.control import JobControl, job_group
 from transcript_cdc.operators.rangewrite import (
@@ -109,7 +112,12 @@ class IngestConfig:
     # on a low-churn feed the winner set ≈ the batch itself, so the build's
     # driver collect+rebroadcast costs more than the payload shuffle it
     # avoids (measured 2x slower at churn ~1.15; 2.4x faster at high
-    # churn). "window"/"broadcast"/"aggregate" force one strategy.
+    # churn). Otherwise MOR epochs default to "clustered" — the dedup
+    # window runs over the write clustering (bucket[, salt]) so dedup and
+    # sink share ONE exchange (operators/dedup.lww_dedup_clustered;
+    # measured 1.3-1.4x per-epoch on the cross-JVM topology) — and COW
+    # epochs to "window". "window"/"broadcast"/"aggregate"/"clustered"
+    # (mor only) force one strategy.
     dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
@@ -147,8 +155,14 @@ class CdcIngestJob:
                 f"{self.table.meta.get('storage', 'cow')!r}, config wants "
                 f"{self.cfg.storage!r}"
             )
+        if self.cfg.dedup_strategy == "clustered" and self.cfg.storage != "mor":
+            raise ValueError(
+                "dedup_strategy='clustered' piggybacks on the MOR delta "
+                "write's bucket clustering; COW has no such exchange — use "
+                "'auto'/'window'/'broadcast'"
+            )
         self.control = JobControl(table_root)
-        self._last_dedup_strategy = "window"  # set per-epoch in prepare_batch
+        self._last_dedup_strategy = "window"  # set per-epoch in _dedup_strategy
 
     # ---------- resume ----------
 
@@ -225,7 +239,12 @@ class CdcIngestJob:
             and last_keys * 4 <= self.cfg.epoch_events
         ):
             return "broadcast"
-        return "window"
+        # MOR's default: the single-exchange clustered window (the dedup
+        # rides the write-clustering shuffle — measured 1.3-1.4x faster
+        # per epoch on the cross-JVM topology and value-identical). COW
+        # keeps the key window: its batch side feeds the merge join, not a
+        # bucket-clustered sink, so there is no exchange to piggyback on.
+        return "clustered" if self.cfg.storage == "mor" else "window"
 
     def run_epoch(self, epoch: int, lsn_lo_excl: int, lsn_hi_incl: int) -> dict:
         """Process one LSN window; returns the commit metrics dict.
@@ -237,13 +256,13 @@ class CdcIngestJob:
             return {"epoch": epoch, "skipped": "already-committed"}
         t0 = time.time()
         raw = self.feed.read_range(lsn_lo_excl, lsn_hi_incl)
-        batch = self.prepare_batch(raw)
         if self.cfg.storage == "mor":
-            return self._run_epoch_mor(epoch, lsn_lo_excl, lsn_hi_incl, batch, t0)
+            return self._run_epoch_mor(epoch, lsn_lo_excl, lsn_hi_incl, raw, t0)
+        batch = self.prepare_batch(raw)
         return self._run_epoch_cow(epoch, lsn_lo_excl, lsn_hi_incl, batch, t0)
 
     def _run_epoch_mor(
-        self, epoch: int, lsn_lo: int, lsn_hi: int, batch: DataFrame, t0: float
+        self, epoch: int, lsn_lo: int, lsn_hi: int, raw: DataFrame, t0: float
     ) -> dict:
         """Merge-on-read epoch: the dedup'd batch IS the delta (lsn/op kept,
         deletes as tombstones). No snapshot read, no merge join, no rewrite —
@@ -262,22 +281,89 @@ class CdcIngestJob:
         - the salt comes from the PREVIOUS manifest's per-bucket row counts
           (operators/skew.lagged_salt) — zero extra jobs;
         - with a single action there is nothing to persist.
+
+        And ONE full-payload exchange inside that action (round 4): the
+        default ``clustered`` LWW strategy runs the dedup window OVER the
+        write clustering (bucket[, salt]) instead of over the key, so the
+        sink's repartition and the dedup shuffle are the same exchange
+        (operators/dedup.lww_dedup_clustered; plan pinned in
+        tests/test_plans.py). ``window``/``broadcast``/``aggregate`` keep
+        the classic dedup-then-repartition shape.
         """
-        new_schema = schemas.evolve(
-            self.table.current_schema(), batch.drop(BUCKET_COL).schema
-        )
+        strategy = self._dedup_strategy()
+        new_schema = schemas.evolve(self.table.current_schema(), raw.schema)
         # Type-widening evolution (int→long, float→double): delta files are
         # written at the table's (possibly widened) types so a chain never
         # mixes widths within one epoch; older narrow files upcast at fold.
-        batch = schemas.align_types(batch, new_schema)
+        aligned = schemas.align_types(raw, new_schema)
+        bucketed = aligned.withColumn(
+            BUCKET_COL, bucket_expr(self.table.n_buckets, self.table.meta["bucket_by"])
+        )
         if self.cfg.probe_heavy_hitters:
             # Legacy opt-in: an exact in-epoch probe (one extra job) whose
             # per-key counts land in the manifest for skew diagnostics.
-            hh = heavy_hitter_probe(batch, "conv_id")
+            # Probes POST-dedup rows (write-side skew is what the salt
+            # spreads), over its own window-dedup view — the probe is its
+            # own Spark job either way, and the write plan below stays
+            # strategy-chosen.
+            hh = heavy_hitter_probe(
+                lww_dedup(bucketed, schemas.KEY_COLS, schemas.LSN_COL),
+                "conv_id",
+            )
             salt, salt_source = choose_salt(hh), "probe"
         else:
             hh = []
             salt, salt_source = lagged_salt(self.table.last_committed()), "lagged"
+        norm = None
+        if self.cfg.normalize and "text" in raw.columns:
+            norm = (
+                normalize_text("text")
+                if self.cfg.arrow_normalizer
+                else normalize_text_sql("text")
+            )
+        if strategy == "clustered":
+            # Single-exchange epoch: repartition on the write clustering,
+            # then the window piggybacks on that exchange (its required
+            # distribution is satisfied — no second shuffle). The salt key
+            # is a function of the FULL key, so key groups stay co-located
+            # and LWW is exact for any salt (§7.2: salting never coarsens
+            # the dedup key). Normalization runs on winners only, after the
+            # filter — same row count as the classic dedup-first order.
+            batch = salted_repartition(
+                bucketed,
+                [BUCKET_COL],
+                salt,
+                num_partitions=self.cfg.write_partitions,
+            )
+            cluster_cols = [BUCKET_COL] if salt <= 1 else [BUCKET_COL, "__salt"]
+            if salt > 1:
+                # Re-derive the same salt key the repartition used so the
+                # window can cluster on it (deterministic in the key).
+                batch = batch.withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in ("conv_id", "turn_idx")]),
+                        F.lit(salt),
+                    ),
+                )
+            batch = lww_dedup_clustered(
+                batch, schemas.KEY_COLS, schemas.LSN_COL, cluster_cols
+            )
+            if salt > 1:
+                batch = batch.drop("__salt")
+            if norm is not None:
+                batch = batch.withColumn("text", norm)
+        else:
+            batch = lww_dedup(
+                bucketed, schemas.KEY_COLS, schemas.LSN_COL, strategy
+            )
+            if norm is not None:
+                batch = batch.withColumn("text", norm)
+            # Spread hot buckets with a salt derived from the full key —
+            # salting the write shuffle only, never the dedup window (§7.2).
+            batch = salted_repartition(
+                batch, [BUCKET_COL], salt, num_partitions=self.cfg.write_partitions
+            )
         obs = Observation(f"epoch-{epoch}")
         observed = batch.observe(
             obs,
@@ -285,20 +371,20 @@ class CdcIngestJob:
             F.sum((F.col(schemas.OP_COL) == "D").cast("long")).alias("deletes"),
             F.collect_set(F.col(BUCKET_COL)).alias("buckets"),
         )
-        # Spread hot buckets with a salt derived from the full key —
-        # salting the write shuffle only, never the dedup window (§7.2).
-        new_state = salted_repartition(
-            observed, [BUCKET_COL], salt, num_partitions=self.cfg.write_partitions
-        )
         # Key-sort within write tasks (no extra shuffle): every delta file
         # lands (key..., lsn)-sorted like the compacted bases, so the
         # ranged MOR fold's per-key-range reads prune row groups instead
         # of rescanning the chain, and files_for_key point-read stats stay
         # tight. Leading BUCKET_COL keeps the dynamic-partition writer's
-        # required ordering satisfied (no second sort in the plan).
-        new_state = new_state.sortWithinPartitions(
+        # required ordering satisfied (no second sort in the plan). In the
+        # clustered path rows already stream in this order; the explicit
+        # sort re-sorts sorted runs (the Arrow normalizer hides plan-visible
+        # ordering, so the writer would otherwise add its own bucket-only,
+        # stability-unspecified sort).
+        new_state = observed.sortWithinPartitions(
             BUCKET_COL, *self.table.key_cols, schemas.LSN_COL
         )
+        self._last_epoch_plan = new_state  # plan-shape introspection (tests)
         metrics = {
             "storage": "mor",
             "heavy_hitters": hh[:5],
