@@ -21,6 +21,7 @@ from transcript_cdc.functions import text as tx
 from transcript_cdc.functions.dedup_text import (
     DEFAULT_MAX_BUCKET_SIZE,
     embedding_near_dup_pairs,
+    jaccard_refined_near_dup_pairs,
     minhash_near_dup_pairs,
     simhash,
 )
@@ -367,6 +368,18 @@ def q_minhash_near_dup_documents(spark, sf):
     return minhash_near_dup_pairs(
         docs, "text", "doc_id", shingle_n=3, k=16, bands=4,
         jaccard_threshold=0.5, hash_fn="md5",
+    )
+
+
+def q_jaccard_near_dup_documents(spark, sf):
+    """Two-stage near-dup: LSH candidates at a LOOSE estimated threshold,
+    refined by EXACT n-gram Jaccard on the candidate pairs only (the
+    false-positive filter minhash estimates need at small K). Portable
+    md5 hashing so the whole pipeline is DuckDB-verifiable."""
+    docs = _t(spark, sf, "documents")
+    return jaccard_refined_near_dup_pairs(
+        docs, "text", "doc_id", shingle_n=3, k=16, bands=4,
+        est_threshold=0.3, exact_threshold=0.5, hash_fn="md5",
     )
 
 
@@ -974,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "lexical_topk_documents": q_lexical_topk_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
+        "jaccard_near_dup_documents": q_jaccard_near_dup_documents,
         "hybrid_search_documents": q_hybrid_search_documents,
         "bm25_topk_documents": q_bm25_topk_documents,
         "sessionize_events": q_sessionize_events,
@@ -1474,6 +1488,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_documents": ot.minhash_pairs_sql(
             shingle_n=3, k=16, bands=4, seed=7, jaccard_threshold=0.5,
             max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
+        ),
+        "jaccard_near_dup_documents": ot.jaccard_refined_pairs_sql(
+            shingle_n=3, k=16, bands=4, seed=7, est_threshold=0.3,
+            exact_threshold=0.5, max_bucket_size=DEFAULT_MAX_BUCKET_SIZE,
         ),
         # Over-cap fixtures: same twins over (documents ∪ synthetic
         # over-cap bucket). The oracle caps at DEFAULT_MAX_BUCKET_SIZE; the

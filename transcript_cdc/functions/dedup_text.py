@@ -301,14 +301,71 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def ngram_jaccard(a: Column | str, b: Column | str, n: int = 3) -> Column:
+def ngram_jaccard(
+    a: Column | str, b: Column | str, n: int = 3, hash_fn: str = "xx64"
+) -> Column:
     """Exact word-n-gram Jaccard between two text columns (verify step for
     candidate pairs)."""
-    sa = F.array_distinct(shingles(a, n))
-    sb = F.array_distinct(shingles(b, n))
+    sa = F.array_distinct(shingles(a, n, hash_fn))
+    sb = F.array_distinct(shingles(b, n, hash_fn))
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return (inter / F.greatest(union, F.lit(1))).cast("double")
+
+
+def jaccard_refined_near_dup_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    shingle_n: int = 3, k: int = 32, bands: int = 8, seed: int = 7,
+    est_threshold: float = 0.5, exact_threshold: float = 0.7,
+    hash_fn: str = "xx64",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """MinHash/LSH candidates refined by EXACT n-gram Jaccard — the
+    standard two-stage corpus near-dup: a loose estimated threshold on the
+    signature keeps recall, then the true shingle-set Jaccard (computed on
+    the candidate pairs only) removes the LSH false positives that a
+    min-hash estimate admits at small K. Returns (id_a, id_b, jaccard).
+
+    Scale shape: stage 1 is minhash_near_dup_pairs (one grouped shuffle,
+    capped buckets — never O(N²)); stage 2 joins the CANDIDATE pairs (a
+    tiny fraction of the corpus) back to a distinct-shingle-set table on
+    id — two hash joins whose build side is the pair list, so Spark/AQE
+    broadcasts it and the corpus-side shingle table is scanned once,
+    unshuffled. The exact Jaccard itself is JVM array_intersect /
+    array_union over the hashed shingle sets — no Python, no re-tokenize
+    per pair beyond the one shingle pass.
+
+    Reference hazard twin: the splitter's 1→N fan-out
+    (ETL/batch_ecs/source/pipeline.py:44-46) yields boilerplate-heavy
+    fragments where minhash estimates saturate; the exact refine is what
+    keeps near-dup deletion from over-firing on those.
+    """
+    cands = minhash_near_dup_pairs(
+        df, text_col, id_col, shingle_n=shingle_n, k=k, bands=bands,
+        seed=seed, jaccard_threshold=est_threshold, hash_fn=hash_fn,
+        max_bucket_size=max_bucket_size,
+    )
+    shs = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col).alias("__sid"),
+        F.array_distinct(shingles(text_col, shingle_n, hash_fn)).alias("__sh"),
+    )
+    sa, sb = shs.alias("__sa"), shs.alias("__sb")
+    inter = F.size(F.array_intersect(F.col("__sa.__sh"), F.col("__sb.__sh")))
+    union = F.size(F.array_union(F.col("__sa.__sh"), F.col("__sb.__sh")))
+    return (
+        cands.join(sa, F.col("id_a") == F.col("__sa.__sid"))
+        .join(sb, F.col("id_b") == F.col("__sb.__sid"))
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.greatest(union, F.lit(1)))
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= exact_threshold)
+    )
 
 
 def embedding_near_dup_pairs(

@@ -93,13 +93,27 @@ def lww_dedup_clustered(
     The classic ``window`` strategy costs its own full-payload exchange on
     (key...) before the sink's repartition on (cluster...) moves the same
     payload AGAIN — two exchanges per epoch. This variant runs the window
-    over ``cluster_cols`` (which must be a FUNCTION OF the key — e.g. the
-    bucket column derived from conv_id — so every row of one key lands in
-    one cluster group), ordered by (key..., order_col) ascending; the last
-    row of each key run is the winner, found with a 1-row ``lead``
-    lookahead. Because the window's required distribution is exactly the
-    sink's clustering, Catalyst plans ONE exchange + ONE sort for dedup
-    AND write layout together (plan-shape pinned in tests/test_plans.py).
+    over ``(cluster_cols..., key_cols...)`` — ``cluster_cols`` must be a
+    FUNCTION OF the key (e.g. the bucket column derived from conv_id) so
+    every row of one key lands in one cluster partition — ordered by
+    ``order_col`` ascending; the last row of each key group is the winner,
+    found with a 1-row ``lead(order_col) IS NULL`` lookahead. Two physical
+    facts make this free:
+
+    - ``HashPartitioning(cluster)`` SATISFIES
+      ``ClusteredDistribution(cluster ++ key)`` (a subset partitioning
+      co-locates every finer group), so the window adds NO exchange on top
+      of the sink's clustering repartition;
+    - the window's required sort, (cluster..., key..., order), IS the
+      sink's file layout, so one sort serves both.
+
+    Catalyst therefore plans ONE exchange + ONE sort for dedup AND write
+    layout together (plan-shape pinned in tests/test_plans.py), and the
+    window groups are per-KEY (a handful of rows), so the window buffers
+    almost nothing — unlike a partitionBy(cluster)-only window, whose
+    whole-cluster groups pay an ExternalAppendOnlyUnsafeRowArray copy per
+    epoch (measured ~7% of a threads-topology epoch in the interleaved
+    A/B).
 
     Measured on the local-cluster (cross-JVM netty shuffle) topology,
     4M-event epoch-shaped batch: 16.8s → 12.0s median vs the two-exchange
@@ -121,13 +135,11 @@ def lww_dedup_clustered(
     DuplicatePolicy.OVERWRITE, ETL/batch_ecs/source/pipeline.py:53) —
     this is purely a physical-plan restatement.
     """
-    w = Window.partitionBy(*cluster_cols).orderBy(
-        *[F.col(c) for c in key_cols], F.col(order_col)
-    )
-    nxt = F.lead(F.struct(*[F.col(c) for c in key_cols])).over(w)
-    keep = nxt.isNull() | ~nxt.eqNullSafe(F.struct(*[F.col(c) for c in key_cols]))
+    w = Window.partitionBy(
+        *[F.col(c) for c in cluster_cols], *[F.col(c) for c in key_cols]
+    ).orderBy(F.col(order_col))
     return (
-        df.withColumn("__keep", keep)
+        df.withColumn("__keep", F.lead(F.col(order_col)).over(w).isNull())
         .filter(F.col("__keep"))
         .drop("__keep")
     )

@@ -315,6 +315,48 @@ def minhash_pairs_sql(
     """
 
 
+def jaccard_refined_pairs_sql(
+    shingle_n: int, k: int, bands: int, seed: int, est_threshold: float,
+    exact_threshold: float, table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", max_bucket_size: int | None = None,
+) -> str:
+    """Twin of dedup_text.jaccard_refined_near_dup_pairs(hash_fn='md5'):
+    the minhash_pairs_sql candidate set (loose estimated threshold) joined
+    back to distinct-shingle sets, refined by exact set Jaccard
+    (list_intersect / distinct-union — same int/int double division as
+    Spark's array_intersect/array_union, so values are bit-identical)."""
+    cand = minhash_pairs_sql(
+        shingle_n, k, bands, seed, est_threshold, table=table,
+        id_col=id_col, text_col=text_col, max_bucket_size=max_bucket_size,
+    )
+    toks = _TOKS.format(text=text_col)
+    return f"""
+        WITH cand AS ({cand}),
+        jt AS (
+            SELECT {id_col} AS id, {toks} AS toks FROM {table}
+            WHERE {text_col} IS NOT NULL AND trim({text_col}) <> ''
+        ),
+        js AS (
+            SELECT id,
+                   list_distinct(list_transform(
+                       range(0, greatest(len(toks) - {shingle_n - 1}, 1)),
+                       i -> {_shingle_hash_sql(shingle_n)})) AS shset
+            FROM jt
+        ),
+        r AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.shset, b.shset))), 1)
+                       AS jaccard
+            FROM cand c
+            JOIN js a ON a.id = c.id_a
+            JOIN js b ON b.id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM r
+        WHERE jaccard >= {flit(exact_threshold)}
+    """
+
+
 def simhash_sql(
     bits: int, table: str = "documents", id_col: str = "doc_id",
     text_col: str = "text",
