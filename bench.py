@@ -304,17 +304,21 @@ def main() -> None:
             pass
     # Durability (round-3 verdict #4): the driver's BENCH_r{N}.json keeps a
     # stdout tail that has been truncated mid-JSON before, losing the
-    # per-query table. Persist the full result to a file as well.
-    dur = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
-    )
-    try:
-        os.makedirs(os.path.dirname(dur), exist_ok=True)
-        with open(dur, "w") as f:
-            json.dump(out, f, indent=1)
-            f.write("\n")
-    except OSError:
-        pass  # a read-only checkout must not fail the bench
+    # per-query table. Persist the full result to a file as well — but only
+    # for the headline configuration: scaling/ab harness legs run with
+    # BENCH_REPLAY_ONLY=1 and would otherwise clobber the headline artifact
+    # with a partial replay-only record.
+    if not replay_only:
+        dur = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+        )
+        try:
+            os.makedirs(os.path.dirname(dur), exist_ok=True)
+            with open(dur, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+        except OSError:
+            pass  # a read-only checkout must not fail the bench
     print(json.dumps(out))
     spark.stop()
 

@@ -218,14 +218,27 @@ def run_level(
         "alu_mops": hw_probe([n_pin], dur=6.0)[n_pin],
         "gather_macc": gather_probe([n_pin], dur=6.0)[n_pin],
     }
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        preexec_fn=_pin,
-    )
+    # One retry on a failed leg: a multi-leg protocol should not die on a
+    # transient executor/JVM fault, and check=True+capture_output swallows
+    # the subprocess stderr (a round-4 run died undiagnosably to exactly
+    # that). Surface the stderr tail either way.
+    for attempt in (1, 2):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            preexec_fn=_pin,
+        )
+        if out.returncode == 0:
+            break
+        print(
+            f"  leg FAILED (attempt {attempt}, rc={out.returncode}); stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-30:]),
+            file=sys.stderr,
+        )
+        if attempt == 2:
+            raise RuntimeError(f"bench.py leg failed twice (cores={cores})")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["probe_before"] = probe
