@@ -404,8 +404,7 @@ def test_mor_auto_picks_clustered_and_matches_forced_window(spark, feed, tmp_pat
     must record it, and the final state must be byte-equal to a replay
     forced onto the classic two-exchange window plan — including across
     this feed's mid-stream schema evolution, deletes and 30% out-of-order
-    events. COW must refuse the strategy (it has no clustered sink
-    exchange to piggyback on)."""
+    events."""
     jc = CdcIngestJob(
         spark, feed["dir"], str(tmp_path / "c"),
         IngestConfig(n_buckets=8, epoch_events=400, storage="mor"),
@@ -427,8 +426,50 @@ def test_mor_auto_picks_clustered_and_matches_forced_window(spark, feed, tmp_pat
     assert mw and all(m["dedup"] == "window" for m in mw)
     pd.testing.assert_frame_equal(_engine_state(jc), _engine_state(jw))
 
-    with pytest.raises(ValueError, match="clustered"):
-        CdcIngestJob(
-            spark, feed["dir"], str(tmp_path / "bad"),
-            IngestConfig(storage="cow", dedup_strategy="clustered"),
-        )
+
+def test_cow_auto_picks_fused_clustered_and_matches_forced_window(
+    spark, feed, tmp_path
+):
+    """COW's auto dedup default is the FUSED epoch (round 4): the LWW
+    dedup is deferred past the merge into the range-clustering write
+    exchange (window over (__range_tok, bucket, key) — one full-payload
+    shuffle per epoch instead of two). Every epoch manifest must record
+    dedup='clustered', the exact key metric must survive (pre-dedup
+    countDistinct == post-dedup row count), and the final state must be
+    value-equal to (a) the dict oracle and (b) a replay forced onto the
+    classic dedup-first window plan — across this feed's mid-stream
+    schema evolution, deletes and 30% out-of-order events."""
+    jf = CdcIngestJob(
+        spark, feed["dir"], str(tmp_path / "f"),
+        IngestConfig(n_buckets=8, epoch_events=400, storage="cow"),
+    )
+    jf.run()
+    mf = [jf.table.read_manifest(e)["metrics"] for e in jf.table.committed_epochs()]
+    assert mf and all(m["dedup"] == "clustered" for m in mf)
+    _assert_equal(_engine_state(jf), feed["oracle"])
+
+    jw = CdcIngestJob(
+        spark, feed["dir"], str(tmp_path / "fw"),
+        IngestConfig(
+            n_buckets=8, epoch_events=400, storage="cow",
+            dedup_strategy="window",
+        ),
+    )
+    jw.run()
+    mw = [jw.table.read_manifest(e)["metrics"] for e in jw.table.committed_epochs()]
+    assert mw and all(m["dedup"] == "window" for m in mw)
+    pd.testing.assert_frame_equal(_engine_state(jf), _engine_state(jw))
+    # The keys metric is strategy-independent wherever it is exact: fused
+    # counts distinct keys pre-dedup (exact countDistinct in the collect
+    # regime, HLL flagged keys_estimated in the first-epoch observe
+    # regime), window counts post-dedup rows.
+    exact = [
+        (a["keys"], b["keys"])
+        for a, b in zip(mf, mw)
+        if not a.get("keys_estimated")
+    ]
+    assert exact and all(a == b for a, b in exact), exact
+    # first epoch (no live files → observe regime) is the estimated one,
+    # and the estimate lands within HLL tolerance of the exact count
+    assert mf[0].get("keys_estimated")
+    assert abs(mf[0]["keys"] - mw[0]["keys"]) <= max(5, mw[0]["keys"] * 0.05)

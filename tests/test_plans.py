@@ -273,3 +273,30 @@ def test_mor_epoch_plan_single_full_payload_exchange(spark, mor_job):
     )
     assert len(re.findall(r"Exchange", plan)) == 1, plan
     assert "lead(" in plan and "row_number" not in plan, plan
+
+
+def test_cow_fused_epoch_plan_single_full_payload_exchange(spark, cow_job):
+    """The fused COW epoch (round 4, dedup_strategy auto→clustered) must
+    plan ONE full-payload shuffle: the range-clustering routing exchange
+    on __range_tok, which the deferred LWW window rides (its
+    ClusteredDistribution(__range_tok, bucket, key) is satisfied by
+    HashPartitioning(__range_tok)). The snapshot side reaches the merge
+    via a BROADCAST anti join (no snapshot shuffle), and the sampled
+    RangePartitioner must not appear (stats-driven routing). cow_job has
+    replayed; _last_epoch_plan is its final epoch's pre-write frame."""
+    import re
+
+    plan = (
+        cow_job._last_epoch_plan._jdf.queryExecution().executedPlan().toString()
+    )
+    hash_ex = re.findall(r"Exchange hashpartitioning\(__range_tok", plan)
+    assert len(hash_ex) == 1, plan
+    # no OTHER shuffle exchange: the dedup window adds none (it rides the
+    # routing exchange) and the batch side of the anti join broadcasts
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "lead(" in plan and "row_number" not in plan, plan
+    # the routing token is internal: dropped before the write
+    head = plan.splitlines()[0]
+    assert "__range_tok" not in head, head

@@ -6,27 +6,34 @@ batch_ecs containers): read committed-offset ledger → scan the WAL slice →
 Arrow-normalize text → within-batch LWW dedup → bucket + salt → MERGE
 against the touched snapshot buckets → atomically commit data + manifest.
 
-Per-epoch dataflow (shuffles annotated). MOR epochs run ONE full-payload
-shuffle: the default ``clustered`` LWW strategy windows over the write
-clustering (bucket[, salt]) so the dedup and the sink repartition are the
-same exchange (operators/dedup.lww_dedup_clustered). COW epochs:
+Per-epoch dataflow (shuffles annotated). BOTH storages run ONE
+full-payload shuffle by default: the ``clustered`` LWW strategy windows
+over the epoch's write-side exchange so dedup and write clustering are
+the same exchange (operators/dedup.lww_dedup_clustered). MOR clusters on
+the delta sink's (bucket[, salt]) repartition; COW (the fused epoch):
 
   changes(lsn∈(lo,hi])              parquet scan, lsn range pushed down
-    → normalize_text (Arrow)        narrow
-    → lww_dedup                     SHUFFLE 1: hash(conv_id,turn_idx) window
+    → normalize_text (Arrow)        narrow (all batch versions)
     → __bucket = pmod(xxhash64(conv_id), N)    narrow
-    ⨝ snapshot(HOT FILES of touched buckets)   SHUFFLE 2: merge join
-                                    (broadcast batch when small → snapshot
-                                    side not shuffled). Hot files = the
-                                    manifest's per-file key-range stats ∩
-                                    this batch's key set (plan_cow_merge);
-                                    provably-untouched files carry forward
-                                    unread and unrewritten.
-    → range-cluster on (bucket, conv_id)       (cow: keeps every output
-                                    file on a tight key interval so the
-                                    NEXT epoch's pruning stays selective;
-                                    mor: salted repartition by bucket)
+    ⨝ snapshot(HOT FILES of touched buckets)   anti join on batch KEYS
+                                    (broadcast batch keys when small →
+                                    snapshot side not shuffled; duplicate
+                                    build keys are the same key set). Hot
+                                    files = the manifest's per-file
+                                    key-range stats ∩ this batch's key set
+                                    (plan_cow_merge); provably-untouched
+                                    files carry forward unread, unrewritten.
+    → range-cluster on (bucket, conv_id)       THE one full-payload SHUFFLE
+                                    (keeps every output file on a tight key
+                                    interval so the NEXT epoch's pruning
+                                    stays selective)
+    → LWW window over (__range_tok, bucket, key)  rides that exchange:
+                                    no second shuffle; op='D' winners drop
     → write data/epoch=K/ + manifest commit (+ footer key stats)
+
+(Forced "window"/"broadcast"/"aggregate" strategies keep the classic
+dedup-before-merge plan: hash(key) dedup shuffle, merge_apply, then the
+range-clustering exchange — two full-payload shuffles.)
 
 At 10^10 events the loop is bounded per-epoch: cost scales with
 |epoch slice| + |files containing batch keys|, never with |full table|,
@@ -112,12 +119,15 @@ class IngestConfig:
     # on a low-churn feed the winner set ≈ the batch itself, so the build's
     # driver collect+rebroadcast costs more than the payload shuffle it
     # avoids (measured 2x slower at churn ~1.15; 2.4x faster at high
-    # churn). Otherwise MOR epochs default to "clustered" — the dedup
-    # window runs over the write clustering (bucket[, salt]) so dedup and
-    # sink share ONE exchange (operators/dedup.lww_dedup_clustered;
-    # measured 1.3-1.4x per-epoch on the cross-JVM topology) — and COW
-    # epochs to "window". "window"/"broadcast"/"aggregate"/"clustered"
-    # (mor only) force one strategy.
+    # churn). Otherwise both storages default to "clustered" — the dedup
+    # window runs over the epoch's WRITE-side exchange so dedup and write
+    # clustering share ONE full-payload shuffle: MOR windows over the
+    # delta sink's (bucket[, salt]) repartition
+    # (operators/dedup.lww_dedup_clustered; measured 1.3-1.4x per-epoch on
+    # the cross-JVM topology), COW defers the dedup past the merge into
+    # the range-clustering exchange (fused epoch, _run_epoch_cow; the
+    # batch payload crosses ONE exchange instead of two).
+    # "window"/"broadcast"/"aggregate"/"clustered" force one strategy.
     dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
@@ -154,12 +164,6 @@ class CdcIngestJob:
                 f"table at {table_root} has storage="
                 f"{self.table.meta.get('storage', 'cow')!r}, config wants "
                 f"{self.cfg.storage!r}"
-            )
-        if self.cfg.dedup_strategy == "clustered" and self.cfg.storage != "mor":
-            raise ValueError(
-                "dedup_strategy='clustered' piggybacks on the MOR delta "
-                "write's bucket clustering; COW has no such exchange — use "
-                "'auto'/'window'/'broadcast'"
             )
         self.control = JobControl(table_root)
         self._last_dedup_strategy = "window"  # set per-epoch in _dedup_strategy
@@ -239,12 +243,16 @@ class CdcIngestJob:
             and last_keys * 4 <= self.cfg.epoch_events
         ):
             return "broadcast"
-        # MOR's default: the single-exchange clustered window (the dedup
-        # rides the write-clustering shuffle — measured 1.3-1.4x faster
-        # per epoch on the cross-JVM topology and value-identical). COW
-        # keeps the key window: its batch side feeds the merge join, not a
-        # bucket-clustered sink, so there is no exchange to piggyback on.
-        return "clustered" if self.cfg.storage == "mor" else "window"
+        # Both storages default to the single-exchange clustered window
+        # (the dedup rides the epoch's write-side shuffle — measured
+        # 1.3-1.4x faster per MOR epoch on the cross-JVM topology and
+        # value-identical). MOR clusters on the delta sink's bucket
+        # repartition; COW defers the dedup PAST the merge into the
+        # range-clustering exchange (anti-join key sets are identical
+        # with or without prior dedup, so the merge plan is unchanged and
+        # the batch payload crosses one exchange instead of two — the
+        # fused epoch, _run_epoch_cow).
+        return "clustered"
 
     def run_epoch(self, epoch: int, lsn_lo_excl: int, lsn_hi_incl: int) -> dict:
         """Process one LSN window; returns the commit metrics dict.
@@ -258,8 +266,7 @@ class CdcIngestJob:
         raw = self.feed.read_range(lsn_lo_excl, lsn_hi_incl)
         if self.cfg.storage == "mor":
             return self._run_epoch_mor(epoch, lsn_lo_excl, lsn_hi_incl, raw, t0)
-        batch = self.prepare_batch(raw)
-        return self._run_epoch_cow(epoch, lsn_lo_excl, lsn_hi_incl, batch, t0)
+        return self._run_epoch_cow(epoch, lsn_lo_excl, lsn_hi_incl, raw, t0)
 
     def _run_epoch_mor(
         self, epoch: int, lsn_lo: int, lsn_hi: int, raw: DataFrame, t0: float
@@ -415,7 +422,7 @@ class CdcIngestJob:
         }
 
     def _run_epoch_cow(
-        self, epoch: int, lsn_lo: int, lsn_hi: int, batch: DataFrame, t0: float
+        self, epoch: int, lsn_lo: int, lsn_hi: int, raw: DataFrame, t0: float
     ) -> dict:
         """Copy-on-write epoch: MERGE against only the files of the touched
         buckets that can contain a batch key (per-file key-range stats from
@@ -433,10 +440,49 @@ class CdcIngestJob:
         the control pass degenerates to persist().count() with the
         counts/touched-set riding the materialization as an ``Observation``
         — no per-bucket aggregate, one driver round-trip of one scalar.
-        (Round 1 ran counts and prune keys as two separate jobs.)"""
+        (Round 1 ran counts and prune keys as two separate jobs.)
+
+        Dedup placement (the fused epoch, strategy "clustered" — the
+        default): the LWW dedup is DEFERRED past the merge into the
+        range-clustering write exchange, the COW twin of the MOR
+        single-exchange epoch. Three facts make this value-identical to
+        dedup-first: (1) the anti-join that selects survivors keys on the
+        batch's KEY SET, which is identical with or without prior dedup
+        (duplicate build keys don't change anti-join semantics); (2)
+        survivors' keys are disjoint from batch keys, so the post-exchange
+        window — ``lww_dedup_clustered`` over ``(__range_tok, bucket,
+        key...)``, whose ClusteredDistribution the routing
+        HashPartitioning(__range_tok) satisfies — resolves each key from
+        batch rows alone (survivors ride through as 1-row groups with
+        null lsn); (3) the op filter moves after the window (a key whose
+        max-lsn event is a delete drops, exactly ``merge_apply``'s
+        post-dedup ``op != 'D'``). The batch payload crosses ONE exchange
+        per epoch instead of two (the window strategy pays
+        hash(key) for dedup, then the range exchange moves the winners
+        again); the price is ~events/keys more rows through that one
+        exchange (the losers) and through the Arrow normalizer — on this
+        feed shape (~1.44 events/key) the saved exchange+sort of the full
+        winner payload dominates. Forced "window"/"broadcast"/"aggregate"
+        keep the classic dedup-first plan."""
         try:
             key_col = self.table.meta["bucket_by"]
             lim = self.cfg.file_prune_max_keys
+            strategy = self._dedup_strategy()
+            fused = strategy == "clustered"
+            if fused:
+                batch = raw
+                if self.cfg.normalize and "text" in batch.columns:
+                    norm = (
+                        normalize_text("text")
+                        if self.cfg.arrow_normalizer
+                        else normalize_text_sql("text")
+                    )
+                    batch = batch.withColumn("text", norm)
+                batch = batch.withColumn(
+                    BUCKET_COL, bucket_expr(self.table.n_buckets, key_col)
+                )
+            else:
+                batch = self.prepare_batch(raw)
             # Lagged size gate (same trick as the salt): epoch sizes are
             # stable under a fixed LSN window, so the previous epoch's key
             # count predicts whether this batch's key set is collectable at
@@ -460,10 +506,20 @@ class CdcIngestJob:
             keys_by_bucket: dict[str, list] | None = None
             if collect_keys:
                 batch = batch.persist()
+                # Fused batches still carry duplicate key versions here, so
+                # "keys" must count DISTINCT keys (a key never spans
+                # buckets — bucket is a function of conv_id — so per-bucket
+                # distinct counts sum exactly); post-dedup batches are
+                # key-unique and count(1) is the same number cheaper.
+                keys_expr = (
+                    F.countDistinct(*[F.col(c) for c in schemas.KEY_COLS])
+                    if fused
+                    else F.count(F.lit(1))
+                )
                 brows = (
                     batch.groupBy(BUCKET_COL)
                     .agg(
-                        F.count(F.lit(1)).alias("keys"),
+                        keys_expr.alias("keys"),
                         F.sum(
                             (F.col(schemas.OP_COL) == "D").cast("long")
                         ).alias("deletes"),
@@ -498,9 +554,21 @@ class CdcIngestJob:
                 # ~14s per 8M-event epoch at 4 executors on top of the
                 # materialization it shares with this path).
                 obs = Observation(f"epoch-{epoch}-control")
+                # Observed metrics reject DISTINCT aggregates, so the fused
+                # (pre-dedup) batch estimates its key count with HLL
+                # (approx_count_distinct; exact 0 on an empty batch, and
+                # every consumer of this number is a gate or a metric —
+                # never a correctness input). Post-dedup batches count rows.
+                keys_obs = (
+                    F.approx_count_distinct(
+                        F.struct(*[F.col(c) for c in schemas.KEY_COLS])
+                    )
+                    if fused
+                    else F.count(F.lit(1))
+                )
                 batch = batch.observe(
                     obs,
-                    F.count(F.lit(1)).alias("keys"),
+                    keys_obs.alias("keys"),
                     F.sum((F.col(schemas.OP_COL) == "D").cast("long")).alias(
                         "deletes"
                     ),
@@ -573,12 +641,30 @@ class CdcIngestJob:
             snapshot = schemas.align_types(
                 self.table.read_files(self.spark, hot), new_schema
             )
-            merged = merge_apply(
-                snapshot,
-                schemas.align_types(batch.drop(BUCKET_COL), new_schema),
-                key_cols=schemas.KEY_COLS,
-                broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
-            )
+            batch_al = schemas.align_types(batch.drop(BUCKET_COL), new_schema)
+            if fused:
+                # merge_apply's anti-join, inlined for the deferred-dedup
+                # batch: the build side may carry duplicate keys (same key
+                # set, same anti-join result), op/lsn ride into the union
+                # for the post-exchange window, survivors get nulls for
+                # both (a null-lsn row is a 1-row window group — no batch
+                # row shares its key — so it always survives).
+                bkeys = batch_al.select(*schemas.KEY_COLS)
+                if n_keys <= self.cfg.broadcast_max_rows:
+                    bkeys = F.broadcast(bkeys)
+                survivors = snapshot.join(
+                    bkeys, on=list(schemas.KEY_COLS), how="left_anti"
+                )
+                merged = survivors.unionByName(
+                    batch_al, allowMissingColumns=True
+                )
+            else:
+                merged = merge_apply(
+                    snapshot,
+                    batch_al,
+                    key_cols=schemas.KEY_COLS,
+                    broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
+                )
             # Re-derive the bucket from conv_id (deterministic), then
             # RANGE-cluster the write on (bucket, key): each output file
             # covers a tight key interval, which is exactly what makes the
@@ -608,23 +694,49 @@ class CdcIngestJob:
                     for b, ks in keys_by_bucket.items()
                     for k in ks
                 ]
+            cluster_cols = [BUCKET_COL]
             if atoms:
                 bounds = plan_range_bounds(atoms, n_parts)
                 new_state = assign_range_partition(
-                    new_state, bounds, n_parts, BUCKET_COL, key_col2
+                    new_state, bounds, n_parts, BUCKET_COL, key_col2,
+                    keep_token=fused,
                 )
+                if fused:
+                    cluster_cols = ["__range_tok", BUCKET_COL]
             else:
                 # No stats at all (first epoch with an over-cap key set):
                 # fall back to sampled range partitioning — correctness
-                # identical, just pays the sampling pass this once.
+                # identical, just pays the sampling pass this once. Its
+                # RangePartitioning(bucket, key) satisfies the window's
+                # ClusteredDistribution(bucket, key...) directly (equal
+                # values land in one partition), so the fused window still
+                # rides this exchange with cluster_cols=[bucket].
                 new_state = new_state.repartitionByRange(
                     n_parts, F.col(BUCKET_COL), F.col(key_col2)
                 )
+            if fused:
+                # The deferred LWW dedup: windows over (routing token,
+                # bucket, key...) — required distribution satisfied by the
+                # routing exchange, required sort = the write layout — then
+                # the op resolution that merge_apply applied pre-merge.
+                new_state = lww_dedup_clustered(
+                    new_state, schemas.KEY_COLS, schemas.LSN_COL, cluster_cols
+                )
+                new_state = new_state.filter(
+                    F.col(schemas.OP_COL).isNull()
+                    | (F.col(schemas.OP_COL) != "D")
+                ).drop(schemas.OP_COL, schemas.LSN_COL, "__range_tok")
             new_state = new_state.sortWithinPartitions(BUCKET_COL, key_col2)
+            self._last_epoch_plan = new_state  # plan-shape introspection
 
             metrics = {
                 "storage": "cow",
+                # Fused epochs count keys pre-dedup: exact countDistinct in
+                # the collect regime, HLL estimate in the observe regime
+                # (flagged); deletes_in_batch counts delete EVENTS there
+                # (winner-level deletes are only known post-window).
                 "keys": n_keys,
+                "keys_estimated": bool(fused and control == "observe-count"),
                 "deletes_in_batch": n_deletes,
                 "files_rewritten": n_hot,
                 "files_kept": n_kept,
