@@ -192,24 +192,24 @@ def test_auto_dedup_strategy_gates_on_churn(spark, feed, tmp_path):
         for e in job.table.committed_epochs()
     ]
     # this feed is low-churn (~1 event/key): every epoch must choose the
-    # fused clustered plan (round 4: COW's non-broadcast default) — the
-    # first for lack of a lag signal, the rest because the lagged key
-    # count shows no collapse
-    assert all(m["dedup"] == "clustered" for m in ms)
+    # window plan — the first for lack of a lag signal, the rest because
+    # the lagged key count shows no collapse (the fused clustered COW was
+    # A/B-rejected as a default even at churn ~1: CHANGES_r4.md #19)
+    assert all(m["dedup"] == "window" for m in ms)
 
     # lag gate arithmetic (no Spark work): both bounds must hold
     job.cfg.epoch_events = 10_000_000
     job.table.last_committed = lambda: {"metrics": {"keys": 500_000}}
     assert job._pick_dedup_strategy() == "broadcast"  # churn 20x, keys < cap
     job.table.last_committed = lambda: {"metrics": {"keys": 3_000_000}}
-    assert job._pick_dedup_strategy() == "clustered"  # winner set over cap
+    assert job._pick_dedup_strategy() == "window"  # winner set over cap
     job.cfg.epoch_events = 1_000_000
     job.table.last_committed = lambda: {"metrics": {"keys": 800_000}}
-    assert job._pick_dedup_strategy() == "clustered"  # churn ~1.25: no collapse
+    assert job._pick_dedup_strategy() == "window"  # churn ~1.25: no collapse
     job.table.last_committed = lambda: {"metrics": {"keys": 250_000}}
     assert job._pick_dedup_strategy() == "broadcast"  # churn 4x, keys < cap
     job.table.last_committed = lambda: None  # fresh table: no lag signal
-    assert job._pick_dedup_strategy() == "clustered"
+    assert job._pick_dedup_strategy() == "window"
     job.cfg.dedup_strategy = "broadcast"  # explicit override wins
     assert job._pick_dedup_strategy() == "broadcast"
     job.cfg.dedup_strategy = "window"

@@ -427,21 +427,26 @@ def test_mor_auto_picks_clustered_and_matches_forced_window(spark, feed, tmp_pat
     pd.testing.assert_frame_equal(_engine_state(jc), _engine_state(jw))
 
 
-def test_cow_auto_picks_fused_clustered_and_matches_forced_window(
+def test_cow_forced_fused_clustered_matches_window_and_oracle(
     spark, feed, tmp_path
 ):
-    """COW's auto dedup default is the FUSED epoch (round 4): the LWW
-    dedup is deferred past the merge into the range-clustering write
-    exchange (window over (__range_tok, bucket, key) — one full-payload
-    shuffle per epoch instead of two). Every epoch manifest must record
-    dedup='clustered', the exact key metric must survive (pre-dedup
-    countDistinct == post-dedup row count), and the final state must be
-    value-equal to (a) the dict oracle and (b) a replay forced onto the
-    classic dedup-first window plan — across this feed's mid-stream
-    schema evolution, deletes and 30% out-of-order events."""
+    """The FUSED COW epoch (forced dedup_strategy='clustered': LWW dedup
+    deferred past the merge into the range-clustering write exchange —
+    one full-payload shuffle per epoch instead of two) must be
+    value-identical to the default plan. It was A/B-REJECTED as the
+    default (survivors ride through the deferred window; CHANGES_r4.md
+    #19) but stays a supported forced strategy, so this pins: every epoch
+    manifest records dedup='clustered', the exact key metric survives
+    (pre-dedup countDistinct == post-dedup row count), and the final
+    state equals (a) the dict oracle and (b) a replay on the classic
+    dedup-first window plan — across this feed's mid-stream schema
+    evolution, deletes and 30% out-of-order events."""
     jf = CdcIngestJob(
         spark, feed["dir"], str(tmp_path / "f"),
-        IngestConfig(n_buckets=8, epoch_events=400, storage="cow"),
+        IngestConfig(
+            n_buckets=8, epoch_events=400, storage="cow",
+            dedup_strategy="clustered",
+        ),
     )
     jf.run()
     mf = [jf.table.read_manifest(e)["metrics"] for e in jf.table.committed_epochs()]

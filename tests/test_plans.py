@@ -275,19 +275,36 @@ def test_mor_epoch_plan_single_full_payload_exchange(spark, mor_job):
     assert "lead(" in plan and "row_number" not in plan, plan
 
 
-def test_cow_fused_epoch_plan_single_full_payload_exchange(spark, cow_job):
-    """The fused COW epoch (round 4, dedup_strategy auto→clustered) must
+@pytest.fixture(scope="module")
+def cow_fused_job(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("plans_cow_fused")
+    spec = StreamSpec(n_conversations=120, avg_turns=4, update_ratio=0.4,
+                      delete_ratio=0.1, seed=5, events_per_file=300)
+    feed = str(base / "feed")
+    write_change_feed(spec, feed)
+    job = CdcIngestJob(
+        spark, feed, str(base / "cow"),
+        IngestConfig(n_buckets=8, epoch_events=400, storage="cow",
+                     dedup_strategy="clustered"),
+    )
+    job.run()
+    return job
+
+
+def test_cow_fused_epoch_plan_single_full_payload_exchange(spark, cow_fused_job):
+    """The fused COW epoch (forced dedup_strategy='clustered'; A/B-rejected
+    as the default — CHANGES_r4.md #19 — but kept as a supported plan) must
     plan ONE full-payload shuffle: the range-clustering routing exchange
     on __range_tok, which the deferred LWW window rides (its
     ClusteredDistribution(__range_tok, bucket, key) is satisfied by
     HashPartitioning(__range_tok)). The snapshot side reaches the merge
     via a BROADCAST anti join (no snapshot shuffle), and the sampled
-    RangePartitioner must not appear (stats-driven routing). cow_job has
-    replayed; _last_epoch_plan is its final epoch's pre-write frame."""
+    RangePartitioner must not appear (stats-driven routing). cow_fused_job
+    has replayed; _last_epoch_plan is its final epoch's pre-write frame."""
     import re
 
     plan = (
-        cow_job._last_epoch_plan._jdf.queryExecution().executedPlan().toString()
+        cow_fused_job._last_epoch_plan._jdf.queryExecution().executedPlan().toString()
     )
     hash_ex = re.findall(r"Exchange hashpartitioning\(__range_tok", plan)
     assert len(hash_ex) == 1, plan

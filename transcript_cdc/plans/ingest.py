@@ -6,34 +6,36 @@ batch_ecs containers): read committed-offset ledger → scan the WAL slice →
 Arrow-normalize text → within-batch LWW dedup → bucket + salt → MERGE
 against the touched snapshot buckets → atomically commit data + manifest.
 
-Per-epoch dataflow (shuffles annotated). BOTH storages run ONE
-full-payload shuffle by default: the ``clustered`` LWW strategy windows
-over the epoch's write-side exchange so dedup and write clustering are
-the same exchange (operators/dedup.lww_dedup_clustered). MOR clusters on
-the delta sink's (bucket[, salt]) repartition; COW (the fused epoch):
+Per-epoch dataflow (shuffles annotated). MOR epochs run ONE full-payload
+shuffle: the default ``clustered`` LWW strategy windows over the write
+clustering (bucket[, salt]) so the dedup and the sink repartition are the
+same exchange (operators/dedup.lww_dedup_clustered). COW epochs:
 
   changes(lsn∈(lo,hi])              parquet scan, lsn range pushed down
-    → normalize_text (Arrow)        narrow (all batch versions)
+    → normalize_text (Arrow)        narrow
+    → lww_dedup                     SHUFFLE 1: hash(conv_id,turn_idx) window
     → __bucket = pmod(xxhash64(conv_id), N)    narrow
-    ⨝ snapshot(HOT FILES of touched buckets)   anti join on batch KEYS
-                                    (broadcast batch keys when small →
-                                    snapshot side not shuffled; duplicate
-                                    build keys are the same key set). Hot
-                                    files = the manifest's per-file
-                                    key-range stats ∩ this batch's key set
-                                    (plan_cow_merge); provably-untouched
-                                    files carry forward unread, unrewritten.
-    → range-cluster on (bucket, conv_id)       THE one full-payload SHUFFLE
-                                    (keeps every output file on a tight key
-                                    interval so the NEXT epoch's pruning
-                                    stays selective)
-    → LWW window over (__range_tok, bucket, key)  rides that exchange:
-                                    no second shuffle; op='D' winners drop
+    ⨝ snapshot(HOT FILES of touched buckets)   SHUFFLE 2: merge join
+                                    (broadcast batch when small → snapshot
+                                    side not shuffled). Hot files = the
+                                    manifest's per-file key-range stats ∩
+                                    this batch's key set (plan_cow_merge);
+                                    provably-untouched files carry forward
+                                    unread and unrewritten.
+    → range-cluster on (bucket, conv_id)       (cow: keeps every output
+                                    file on a tight key interval so the
+                                    NEXT epoch's pruning stays selective;
+                                    mor: salted repartition by bucket)
     → write data/epoch=K/ + manifest commit (+ footer key stats)
 
-(Forced "window"/"broadcast"/"aggregate" strategies keep the classic
-dedup-before-merge plan: hash(key) dedup shuffle, merge_apply, then the
-range-clustering exchange — two full-payload shuffles.)
+A FUSED single-exchange COW variant exists (forced
+``dedup_strategy="clustered"``: skip SHUFFLE 1, route all batch versions
+through the range-clustering exchange, resolve LWW + op='D' in a window
+over (__range_tok, bucket, key) riding it). It is value-correct and
+plan-shape-tested but A/B-REJECTED as the default: survivors must ride
+through the deferred window while the classic plan lets them bypass dedup
+entirely — measured 0.85-0.91x on local[8] across churn 1.06-1.44 and
+151k vs 204k sustained ev/s at 4 executors (CHANGES_r4.md #19).
 
 At 10^10 events the loop is bounded per-epoch: cost scales with
 |epoch slice| + |files containing batch keys|, never with |full table|,
@@ -119,15 +121,14 @@ class IngestConfig:
     # on a low-churn feed the winner set ≈ the batch itself, so the build's
     # driver collect+rebroadcast costs more than the payload shuffle it
     # avoids (measured 2x slower at churn ~1.15; 2.4x faster at high
-    # churn). Otherwise both storages default to "clustered" — the dedup
-    # window runs over the epoch's WRITE-side exchange so dedup and write
-    # clustering share ONE full-payload shuffle: MOR windows over the
-    # delta sink's (bucket[, salt]) repartition
-    # (operators/dedup.lww_dedup_clustered; measured 1.3-1.4x per-epoch on
-    # the cross-JVM topology), COW defers the dedup past the merge into
-    # the range-clustering exchange (fused epoch, _run_epoch_cow; the
-    # batch payload crosses ONE exchange instead of two).
-    # "window"/"broadcast"/"aggregate"/"clustered" force one strategy.
+    # churn). Otherwise MOR epochs default to "clustered" — the dedup
+    # window runs over the write clustering (bucket[, salt]) so dedup and
+    # sink share ONE exchange (operators/dedup.lww_dedup_clustered;
+    # measured 1.3-1.4x per-epoch on the cross-JVM topology) — and COW
+    # epochs to "window". "window"/"broadcast"/"aggregate"/"clustered"
+    # force one strategy. COW+clustered is the FUSED epoch (dedup deferred
+    # into the range-clustering exchange): value-correct and plan-tested,
+    # but A/B-rejected as the default — see _pick_dedup_strategy.
     dedup_strategy: str = "auto"
     extra: dict = field(default_factory=dict)
 
@@ -243,16 +244,20 @@ class CdcIngestJob:
             and last_keys * 4 <= self.cfg.epoch_events
         ):
             return "broadcast"
-        # Both storages default to the single-exchange clustered window
-        # (the dedup rides the epoch's write-side shuffle — measured
-        # 1.3-1.4x faster per MOR epoch on the cross-JVM topology and
-        # value-identical). MOR clusters on the delta sink's bucket
-        # repartition; COW defers the dedup PAST the merge into the
-        # range-clustering exchange (anti-join key sets are identical
-        # with or without prior dedup, so the merge plan is unchanged and
-        # the batch payload crosses one exchange instead of two — the
-        # fused epoch, _run_epoch_cow).
-        return "clustered"
+        # MOR's default: the single-exchange clustered window (the dedup
+        # rides the write-clustering shuffle — measured 1.3-1.4x faster
+        # per epoch on the cross-JVM topology and value-identical). COW
+        # keeps the key window. A fused COW variant exists (forced
+        # "clustered": the dedup deferred into the range-clustering
+        # exchange, _run_epoch_cow) and was A/B-REJECTED as the default:
+        # unlike MOR, the merge's SURVIVOR rows must ride through the
+        # deferred window's sort + lead() plus a non-elided second write
+        # sort, a tax that grows with the table, and the batch's losers
+        # cross the exchange and the Arrow normalizer. Measured
+        # interleaved: 0.85x at churn 1.44 and 0.91x at churn 1.06 on
+        # local[8]; 151k vs 204k sustained ev/s at 4 executors
+        # (CHANGES_r4.md #19).
+        return "clustered" if self.cfg.storage == "mor" else "window"
 
     def run_epoch(self, epoch: int, lsn_lo_excl: int, lsn_hi_incl: int) -> dict:
         """Process one LSN window; returns the commit metrics dict.
