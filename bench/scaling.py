@@ -218,11 +218,14 @@ def run_level(
         "alu_mops": hw_probe([n_pin], dur=6.0)[n_pin],
         "gather_macc": gather_probe([n_pin], dur=6.0)[n_pin],
     }
-    # One retry on a failed leg: a multi-leg protocol should not die on a
+    # Retries on a failed leg: a multi-leg protocol should not die on a
     # transient executor/JVM fault, and check=True+capture_output swallows
     # the subprocess stderr (a round-4 run died undiagnosably to exactly
-    # that). Surface the stderr tail either way.
-    for attempt in (1, 2):
+    # that). The observed fault — local-cluster's worker hitting "Shutdown
+    # hooks cannot be modified during shutdown" while relaunching an
+    # executor — struck twice in a row once, so three attempts. Surface
+    # the stderr tail either way.
+    for attempt in (1, 2, 3):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
@@ -237,8 +240,8 @@ def run_level(
             + "\n".join(out.stderr.splitlines()[-30:]),
             file=sys.stderr,
         )
-        if attempt == 2:
-            raise RuntimeError(f"bench.py leg failed twice (cores={cores})")
+        if attempt == 3:
+            raise RuntimeError(f"bench.py leg failed 3x (cores={cores})")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["probe_before"] = probe
