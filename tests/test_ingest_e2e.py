@@ -101,6 +101,7 @@ def test_cow_overcap_observe_control_matches_oracle(spark, feed, tmp_path):
         # the first epoch that has any lagged signal
         file_prune_max_keys=0,
         broadcast_max_rows=0,
+        merge_hash_prefilter_max_keys=0,
     )
     job = CdcIngestJob(spark, feed["dir"], root, cfg)
     results = job.run()
@@ -111,6 +112,7 @@ def test_cow_overcap_observe_control_matches_oracle(spark, feed, tmp_path):
     for r in results:
         m = job.table.read_manifest(r["epoch"])["metrics"]
         assert m["control"] == "observe-count"
+        assert m["merge_anti"] == "smj"
         assert m["keys"] == r["keys"] > 0
     assert results[1]["touched_buckets"] == 2
     _assert_equal(_engine_state(job), feed["oracle"])
@@ -118,6 +120,29 @@ def test_cow_overcap_observe_control_matches_oracle(spark, feed, tmp_path):
     r = job.run_epoch(results[1]["epoch"], 399, 799)
     assert r.get("skipped") == "already-committed"
     # and a fresh process resumes cleanly past those commits
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    assert job2.run() == []
+    _assert_equal(_engine_state(job2), feed["oracle"])
+
+
+def test_cow_hash_prefilter_merge_matches_oracle(spark, feed, tmp_path):
+    """The MIDDLE survivor regime (operators/merge.survivors_anti_join):
+    key count over the string-key broadcast cap but under the hash cap →
+    broadcast the distinct key-hash longs, route provably-untouched
+    snapshot rows around the join, exact sliver anti-join for hash hits.
+    Forced here by zeroing broadcast_max_rows while leaving the hash cap
+    at its default; every epoch must record merge_anti="hash" and the
+    replay must still hit the oracle exactly, resumably."""
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(n_buckets=8, epoch_events=400, broadcast_max_rows=0)
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    results = job.run()
+    assert len(results) > 2
+    for r in results:
+        m = job.table.read_manifest(r["epoch"])["metrics"]
+        assert m["merge_anti"] == "hash"
+    _assert_equal(_engine_state(job), feed["oracle"])
+    # fresh process resumes cleanly past hash-regime commits
     job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
     assert job2.run() == []
     _assert_equal(_engine_state(job2), feed["oracle"])

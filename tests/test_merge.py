@@ -106,3 +106,47 @@ def test_evolve_appends_nullable():
     out = schemas.evolve(t, b)
     assert [f.name for f in out.fields] == ["a", "b"]
     assert out["b"].nullable
+
+
+def test_hash_prefilter_same_result(spark):
+    snap = [(f"c{i}", j, f"t{i}.{j}") for i in range(40) for j in range(3)]
+    batch = (
+        [(100 + i, "U", f"c{i}", 0, f"new{i}") for i in range(0, 40, 3)]
+        + [(200 + i, "D", f"c{i}", 1, None) for i in range(0, 40, 5)]
+        + [(300, "I", "cx", 7, "ins")]
+    )
+    base = _apply(spark, snap, batch)
+    assert _apply(spark, snap, batch, hash_prefilter=True) == base
+
+
+def test_hash_prefilter_exact_under_forced_collisions(spark):
+    """survivors_anti_join is exact for ANY hash: collisions only enlarge
+    the candidate set that pays the exact anti-join. pmod(hash, 2) makes
+    ~half the untouched snapshot collide into the batch's hash set — the
+    result must not change by one row."""
+    from pyspark.sql import functions as F
+
+    snap = [(f"c{i}", j, f"t{i}.{j}") for i in range(60) for j in range(2)]
+    batch = [(100 + i, "U", f"c{i}", 0, f"new{i}") for i in range(0, 60, 4)]
+    base = _apply(spark, snap, batch)
+    weak = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(2))
+    assert (
+        _apply(spark, snap, batch, hash_prefilter=True, prefilter_hash=weak)
+        == base
+    )
+
+
+def test_hash_prefilter_plan_broadcasts_hash_set_only(spark):
+    """The middle regime's plan: the batch key HASHES are broadcast (a semi
+    + an anti join on __kh, sharing one exchange); the full snapshot
+    payload is never sort-merge-exchanged — at most the candidate sliver
+    joins the narrow key set."""
+    snap = _snap(spark, [(f"c{i}", 0, "x") for i in range(8)])
+    batch = _batch(spark, [(1, "U", "c1", 0, "y"), (2, "I", "c9", 0, "z")])
+    out = merge_apply(snap, batch, hash_prefilter=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__kh" in plan, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    # both __kh joins are broadcast builds; any remaining SMJ is the
+    # candidates-vs-keys sliver, never a second full-snapshot exchange
+    assert plan.count("SortMergeJoin") <= 1, plan

@@ -16,8 +16,11 @@ better physically: Spark cannot broadcast either side of a full-outer join
 LEFT ANTI supports a broadcast build of the (small, post-dedup) batch side —
 so the big snapshot side is scanned once with ZERO shuffle.
 
-When the batch is too large to broadcast, the plan falls back to a
-sort-merge anti join on the composite key, which AQE skew-splits if needed.
+When the batch is too large to broadcast, a MIDDLE regime broadcasts the
+batch's distinct xxhash64(key) longs and routes provably-untouched snapshot
+rows around the join entirely (survivors_anti_join below); only past that
+does the plan fall back to a sort-merge anti join on the composite key,
+which AQE skew-splits if needed.
 The anti-join shape is kept deliberately for this regime too: its join
 RIGHT side is the batch's KEY COLUMNS ONLY, so the merge sorts a narrow
 relation plus the snapshot — an interleaved same-host A/B against the
@@ -42,6 +45,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+HASH_COL = "__kh"
+
+
+def survivors_anti_join(
+    snapshot: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    broadcast_keys: bool = False,
+    hash_prefilter: bool = False,
+    prefilter_hash=None,
+) -> DataFrame:
+    """Snapshot rows whose key is NOT in the batch's key set (the merge's
+    survivor side). ``batch`` needs only the key columns and may carry
+    duplicate keys (duplicates never change anti-join semantics).
+
+    Three physical regimes, picked by the caller from the epoch's key
+    count (plans/ingest.py):
+
+    - ``broadcast_keys``: broadcast anti-join on the full key columns —
+      the snapshot side is never shuffled. Right while the key set fits
+      the broadcast row cap (string keys are wide: a raised string-key
+      cap at ~5.5M keys OOM-looped 6 GiB executors, CHANGES_r4.md #20).
+    - ``hash_prefilter``: the middle regime (too many keys to broadcast
+      as strings, far too few to justify shuffling the whole snapshot
+      payload through a sort-merge join). Broadcast the batch's DISTINCT
+      ``xxhash64(key)`` longs — a LongHashedRelation at tens of bytes
+      per key — and split the snapshot JVM-side: rows whose key-hash
+      misses the set are PROVABLY not in the batch and are kept with
+      ZERO shuffle; only the hash hits (true hot keys + rare 64-bit
+      collisions) pay the exact sort-merge anti-join, so the SMJ
+      exchanges a candidate sliver instead of the full snapshot. Exact
+      for ANY hash function: a collision only enlarges the candidate
+      set, never the survivor result — ``prefilter_hash`` exists so
+      tests can force heavy collisions and prove it.
+    - neither: plain anti-join — Catalyst picks SMJ, exchanging + sorting
+      the full snapshot payload. The fallback once even the hash set
+      would not fit executor memory.
+    """
+    key_cols = list(key_cols)
+    batch_keys = batch.select(*key_cols)
+    if broadcast_keys:
+        return snapshot.join(F.broadcast(batch_keys), on=key_cols, how="left_anti")
+    if not hash_prefilter:
+        return snapshot.join(batch_keys, on=key_cols, how="left_anti")
+
+    h = (
+        prefilter_hash
+        if prefilter_hash is not None
+        else F.xxhash64(*[F.col(c) for c in key_cols])
+    )
+    assert HASH_COL not in snapshot.columns, HASH_COL
+    # One narrow shuffle over longs; the broadcast subtree is identical in
+    # both joins below, so Spark reuses the built relation (ReusedExchange).
+    batch_hashes = F.broadcast(batch.select(h.alias(HASH_COL)).distinct())
+    snap_h = snapshot.withColumn(HASH_COL, h)
+    kept_direct = snap_h.join(batch_hashes, on=HASH_COL, how="left_anti").drop(
+        HASH_COL
+    )
+    candidates = snap_h.join(batch_hashes, on=HASH_COL, how="left_semi").drop(
+        HASH_COL
+    )
+    survivors_c = candidates.join(batch_keys, on=key_cols, how="left_anti")
+    return kept_direct.unionByName(survivors_c)
+
+
 def merge_apply(
     snapshot: DataFrame,
     batch: DataFrame,
@@ -49,6 +118,8 @@ def merge_apply(
     op_col: str = "op",
     broadcast_batch: bool | None = None,
     drop_cols: Sequence[str] = ("lsn",),
+    hash_prefilter: bool = False,
+    prefilter_hash=None,
 ) -> DataFrame:
     """Apply a LWW-dedup'd change batch to a snapshot; return the new state.
 
@@ -56,14 +127,18 @@ def merge_apply(
     carry op + payload columns; `snapshot` carries key + payload columns.
     Result schema is the union-by-name of both payload schemas; op/lsn and
     any `drop_cols` are dropped. Deterministic: result content depends only
-    on the two inputs, never on partitioning.
+    on the two inputs, never on partitioning. ``hash_prefilter`` selects
+    the middle survivor regime — see :func:`survivors_anti_join`.
     """
     key_cols = list(key_cols)
-    batch_keys = batch.select(*key_cols)
-    if broadcast_batch:
-        batch_keys = F.broadcast(batch_keys)
-
-    survivors = snapshot.join(batch_keys, on=key_cols, how="left_anti")
+    survivors = survivors_anti_join(
+        snapshot,
+        batch,
+        key_cols,
+        broadcast_keys=bool(broadcast_batch),
+        hash_prefilter=hash_prefilter,
+        prefilter_hash=prefilter_hash,
+    )
     upserts = batch.filter(F.col(op_col) != F.lit("D")).drop(
         op_col, *[c for c in drop_cols if c in batch.columns]
     )

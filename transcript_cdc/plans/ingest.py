@@ -16,8 +16,12 @@ same exchange (operators/dedup.lww_dedup_clustered). COW epochs:
     → lww_dedup                     SHUFFLE 1: hash(conv_id,turn_idx) window
     → __bucket = pmod(xxhash64(conv_id), N)    narrow
     ⨝ snapshot(HOT FILES of touched buckets)   SHUFFLE 2: merge join
-                                    (broadcast batch when small → snapshot
-                                    side not shuffled). Hot files = the
+                                    (keys ≤ broadcast cap → broadcast anti
+                                    join, snapshot side not shuffled;
+                                    keys ≤ merge_hash_prefilter_max_keys →
+                                    broadcast distinct key-HASH longs, only
+                                    hash-hit rows pay the exact SMJ;
+                                    beyond → full SMJ). Hot files = the
                                     manifest's per-file key-range stats ∩
                                     this batch's key set (plan_cow_merge);
                                     provably-untouched files carry forward
@@ -59,7 +63,7 @@ from pyspark.sql import functions as F
 from transcript_cdc import schemas
 from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
 from transcript_cdc.operators.dedup import lww_dedup, lww_dedup_clustered
-from transcript_cdc.operators.merge import merge_apply
+from transcript_cdc.operators.merge import merge_apply, survivors_anti_join
 from transcript_cdc.plans.control import JobControl, job_group
 from transcript_cdc.operators.rangewrite import (
     assign_range_partition,
@@ -88,6 +92,17 @@ class IngestConfig:
     normalize: bool = True
     arrow_normalizer: bool = True  # False → pure-SQL normalizer (no NFC)
     broadcast_max_rows: int = 2_000_000
+    # Middle survivor regime for the COW merge (operators/merge.py
+    # survivors_anti_join): when the epoch's key count exceeds
+    # broadcast_max_rows (full string keys won't fit executor memory —
+    # a raised string cap OOM-looped 6 GiB executors, CHANGES_r4.md #20)
+    # but stays under this bound, broadcast the DISTINCT xxhash64(key)
+    # longs instead (~50 bytes/key in the LongHashedRelation) and let the
+    # hash split route provably-untouched snapshot rows around the
+    # sort-merge anti join — only the hash hits pay the exact SMJ. 16M
+    # keys ≈ 0.8 GB relation: sized for the 6 GiB single-core executors
+    # of the scaling protocol; raise it with executor memory.
+    merge_hash_prefilter_max_keys: int = 16_000_000
     # True → exact in-epoch heavy-hitter probe (one extra Spark job per
     # epoch, per-key counts in the manifest). Default: salt from the
     # previous manifest's bucket_rows (lagged_salt) — zero extra jobs.
@@ -647,18 +662,27 @@ class CdcIngestJob:
                 self.table.read_files(self.spark, hot), new_schema
             )
             batch_al = schemas.align_types(batch.drop(BUCKET_COL), new_schema)
+            bc_keys = n_keys <= self.cfg.broadcast_max_rows
+            hash_pre = (
+                not bc_keys
+                and n_keys <= self.cfg.merge_hash_prefilter_max_keys
+            )
+            merge_anti = (
+                "broadcast" if bc_keys else "hash" if hash_pre else "smj"
+            )
             if fused:
-                # merge_apply's anti-join, inlined for the deferred-dedup
-                # batch: the build side may carry duplicate keys (same key
+                # merge_apply's survivor anti-join, on the deferred-dedup
+                # batch: the key side may carry duplicate keys (same key
                 # set, same anti-join result), op/lsn ride into the union
                 # for the post-exchange window, survivors get nulls for
                 # both (a null-lsn row is a 1-row window group — no batch
                 # row shares its key — so it always survives).
-                bkeys = batch_al.select(*schemas.KEY_COLS)
-                if n_keys <= self.cfg.broadcast_max_rows:
-                    bkeys = F.broadcast(bkeys)
-                survivors = snapshot.join(
-                    bkeys, on=list(schemas.KEY_COLS), how="left_anti"
+                survivors = survivors_anti_join(
+                    snapshot,
+                    batch_al,
+                    schemas.KEY_COLS,
+                    broadcast_keys=bc_keys,
+                    hash_prefilter=hash_pre,
                 )
                 merged = survivors.unionByName(
                     batch_al, allowMissingColumns=True
@@ -668,7 +692,8 @@ class CdcIngestJob:
                     snapshot,
                     batch_al,
                     key_cols=schemas.KEY_COLS,
-                    broadcast_batch=n_keys <= self.cfg.broadcast_max_rows,
+                    broadcast_batch=bc_keys,
+                    hash_prefilter=hash_pre,
                 )
             # Re-derive the bucket from conv_id (deterministic), then
             # RANGE-cluster the write on (bucket, key): each output file
@@ -746,6 +771,7 @@ class CdcIngestJob:
                 "files_rewritten": n_hot,
                 "files_kept": n_kept,
                 "control": control,
+                "merge_anti": merge_anti,
                 "dedup": self._last_dedup_strategy,
                 "duration_prepare_s": round(time.time() - t0, 3),
             }
