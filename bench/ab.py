@@ -116,6 +116,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--modes", default="cow,mor")
     ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(REPO, "bench", "ab_result.json"),
+        help="result path (default bench/ab_result.json — the file bench.py "
+        "embeds; point experiment A/Bs elsewhere so the headline record "
+        "is not clobbered)",
+    )
     args = ap.parse_args()
 
     ref = args.ref or default_ref()
@@ -169,7 +176,7 @@ def main() -> None:
             "summary": summary,
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
-        with open(os.path.join(REPO, "bench", "ab_result.json"), "w") as f:
+        with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
         print(json.dumps(result))
     finally:

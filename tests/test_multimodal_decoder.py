@@ -82,3 +82,91 @@ def test_set_decoder_real_wav_through_map_in_pandas(spark):
     # and the features distinguish real content: different frequencies
     # produce different slice profiles for at least one pair
     assert len({tuple(r.feature) for r in got.values()}) > 1
+
+
+import struct
+
+import numpy as np
+
+from transcript_cdc.functions.multimodal import (  # noqa: E402
+    bmp_mean_decode,
+    kind_dispatch_decode,
+)
+
+
+def _make_bmp(px: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BMP writer; px is HxWx3 RGB uint8 top-down."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(w):
+            r, g, b = px[y, x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (stride - len(row))
+        rows += bytes(row)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return hdr + dib + rows
+
+
+def test_bmp_decode_driver_side():
+    # solid red: R mean 1.0, luma = 0.299 everywhere (all quadrants equal)
+    red = np.zeros((4, 4, 3), np.uint8)
+    red[..., 0] = 255
+    f = bmp_mean_decode(_make_bmp(red), "image")
+    assert f[0] == pytest.approx(1.0) and f[1] == 0.0 and f[2] == 0.0
+    assert f[3:] == pytest.approx([0.299] * 5)
+    # odd width exercises the 4-byte row padding; check exact channel means
+    grad = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    f2 = bmp_mean_decode(_make_bmp(grad), "image")
+    for ch in range(3):
+        assert f2[ch] == pytest.approx(grad[..., ch].mean() / 255.0)
+    luma = (
+        0.299 * grad[..., 0] + 0.587 * grad[..., 1] + 0.114 * grad[..., 2]
+    )
+    # top-left quadrant of the TOP-DOWN image (bottom-up storage unflipped)
+    assert f2[4] == pytest.approx(luma[:1, :2].mean() / 255.0)
+    # contract: non-images, non-BMP bytes, compressed/weird depths raise
+    with pytest.raises(NotImplementedError):
+        bmp_mean_decode(_make_bmp(red), "audio")
+    with pytest.raises(NotImplementedError):
+        bmp_mean_decode(b"\x89PNG\r\n" + b"\x00" * 64, "image")
+    assert bmp_mean_decode(None, "image") == [0.0] * 8
+
+
+def test_kind_dispatch_mixed_media_through_map_in_pandas(spark):
+    """Mixed audio+image media table through the full executor-side
+    mapInPandas plumbing with the production-shaped dispatch decoder —
+    both real stdlib decoders run inside one task batch."""
+    wavs = [_make_wav(220.0 * (i + 1), amp=0.2 + 0.1 * i) for i in range(3)]
+    imgs = [
+        _make_bmp(np.full((3, 3, 3), 40 * (i + 1), np.uint8)) for i in range(3)
+    ]
+    rows = [
+        (i, "audio", wavs[i], ("audio/wav", None, None, 100))
+        for i in range(3)
+    ] + [
+        (10 + i, "image", imgs[i], ("image/bmp", 3, 3, None))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    set_decoder(kind_dispatch_decode)
+    try:
+        got = {r.media_id: r for r in extract_features(df).collect()}
+    finally:
+        set_decoder(fake_decode)
+    assert len(got) == 6
+    for i in range(3):
+        assert got[i].feature == pytest.approx(
+            wav_amplitude_decode(wavs[i], "audio"), rel=1e-6
+        )
+        assert got[10 + i].feature == pytest.approx(
+            bmp_mean_decode(imgs[i], "image"), rel=1e-6
+        )
+    # dispatch contract: video has no decoder in this container
+    with pytest.raises(NotImplementedError):
+        kind_dispatch_decode(b"\x00\x00\x00\x18ftyp", "video")
