@@ -136,17 +136,20 @@ def test_hash_prefilter_exact_under_forced_collisions(spark):
     )
 
 
-def test_hash_prefilter_plan_broadcasts_hash_set_only(spark):
-    """The middle regime's plan: the batch key HASHES are broadcast (a semi
-    + an anti join on __kh, sharing one exchange); the full snapshot
-    payload is never sort-merge-exchanged — at most the candidate sliver
-    joins the narrow key set."""
+def test_hash_prefilter_plan_probes_arrow_side(spark):
+    """The middle regime's plan: the batch key hashes ship as a sorted
+    numpy array (8 bytes/key — a JVM broadcast-join relation at the same
+    key count OOM'd 6 GiB executors) probed by ONE Arrow-batched pandas
+    UDF; the kept_direct branch is scan→probe→filter with no join or
+    exchange at all, and the only join left is the candidate sliver vs
+    the narrow key set."""
     snap = _snap(spark, [(f"c{i}", 0, "x") for i in range(8)])
     batch = _batch(spark, [(1, "U", "c1", 0, "y"), (2, "I", "c9", 0, "z")])
     out = merge_apply(snap, batch, hash_prefilter=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "__kh" in plan, plan
-    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
-    # both __kh joins are broadcast builds; any remaining SMJ is the
-    # candidates-vs-keys sliver, never a second full-snapshot exchange
+    assert "_in_hash_set" in plan, plan  # the probe survives optimization
+    assert "ArrowEvalPython" in plan, plan  # ...as ONE Arrow-batched eval
+    assert "LeftAnti" in plan, plan  # the exact sliver anti join
+    # the full snapshot payload is never sort-merge-exchanged: at most
+    # the candidate sliver joins the narrow key set
     assert plan.count("SortMergeJoin") <= 1, plan

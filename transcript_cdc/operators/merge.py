@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,18 +72,29 @@ def survivors_anti_join(
       cap at ~5.5M keys OOM-looped 6 GiB executors, CHANGES_r4.md #20).
     - ``hash_prefilter``: the middle regime (too many keys to broadcast
       as strings, far too few to justify shuffling the whole snapshot
-      payload through a sort-merge join). Broadcast the batch's DISTINCT
-      ``xxhash64(key)`` longs — a LongHashedRelation at tens of bytes
-      per key — and split the snapshot JVM-side: rows whose key-hash
-      misses the set are PROVABLY not in the batch and are kept with
-      ZERO shuffle; only the hash hits (true hot keys + rare 64-bit
-      collisions) pay the exact sort-merge anti-join, so the SMJ
-      exchanges a candidate sliver instead of the full snapshot. Exact
-      for ANY hash function: a collision only enlarges the candidate
-      set, never the survivor result — ``prefilter_hash`` exists so
-      tests can force heavy collisions and prove it.
+      payload through a sort-merge join). The batch's DISTINCT
+      ``xxhash64(key)`` longs are collected Arrow-side and shipped as a
+      SORTED numpy int64 array over ``sc.broadcast`` — exactly 8
+      bytes/key on each executor. (The obvious JVM alternative, a
+      broadcast hash JOIN on the hash column, was built first and
+      OOM-killed 6 GiB executors at 5.5M keys: LongHashedRelation's
+      sparse map + torrent blocks cost ~100+ bytes/key on top of the
+      merge's own buffers — `LongToUnsafeRowMap.readLongArray` heap
+      OOM, executor relaunch loop.) Each snapshot row probes the array
+      with a vectorized ``np.searchsorted`` in an Arrow-batched pandas
+      UDF — the one place Python touches the hot path, one int64 column
+      per row, O(log n) per probe. Rows whose key-hash misses the set
+      are PROVABLY not in the batch and are kept with ZERO shuffle;
+      only the hash hits (true hot keys + rare 64-bit collisions) pay
+      the exact sort-merge anti-join, so the SMJ exchanges a candidate
+      sliver instead of the full snapshot. Exact for ANY hash function:
+      a collision only enlarges the candidate set, never the survivor
+      result — ``prefilter_hash`` exists so tests can force heavy
+      collisions and prove it. NOTE: building the set runs one eager
+      (narrow, longs-only) Spark job at plan-construction time; the
+      epoch loop calls this on its already-persisted batch.
     - neither: plain anti-join — Catalyst picks SMJ, exchanging + sorting
-      the full snapshot payload. The fallback once even the hash set
+      the full snapshot payload. The fallback once even 8 bytes/key
       would not fit executor memory.
     """
     key_cols = list(key_cols)
@@ -97,16 +110,24 @@ def survivors_anti_join(
         else F.xxhash64(*[F.col(c) for c in key_cols])
     )
     assert HASH_COL not in snapshot.columns, HASH_COL
-    # One narrow shuffle over longs; the broadcast subtree is identical in
-    # both joins below, so Spark reuses the built relation (ReusedExchange).
-    batch_hashes = F.broadcast(batch.select(h.alias(HASH_COL)).distinct())
-    snap_h = snapshot.withColumn(HASH_COL, h)
-    kept_direct = snap_h.join(batch_hashes, on=HASH_COL, how="left_anti").drop(
-        HASH_COL
-    )
-    candidates = snap_h.join(batch_hashes, on=HASH_COL, how="left_semi").drop(
-        HASH_COL
-    )
+    hashes = (
+        batch.select(h.alias(HASH_COL)).distinct().toArrow()[HASH_COL]
+    ).to_numpy(zero_copy_only=False)
+    sorted_hashes = np.sort(hashes.astype(np.int64, copy=False))
+    bc = snapshot.sparkSession.sparkContext.broadcast(sorted_hashes)
+
+    @F.pandas_udf("boolean")
+    def _in_hash_set(kh: pd.Series) -> pd.Series:
+        a = bc.value
+        v = kh.to_numpy()
+        if len(a) == 0:
+            return pd.Series(np.zeros(len(v), dtype=bool))
+        idx = np.minimum(np.searchsorted(a, v), len(a) - 1)
+        return pd.Series(a[idx] == v)
+
+    snap_h = snapshot.withColumn(HASH_COL, _in_hash_set(h))
+    kept_direct = snap_h.filter(~F.col(HASH_COL)).drop(HASH_COL)
+    candidates = snap_h.filter(F.col(HASH_COL)).drop(HASH_COL)
     survivors_c = candidates.join(batch_keys, on=key_cols, how="left_anti")
     return kept_direct.unionByName(survivors_c)
 
