@@ -319,7 +319,48 @@ def main() -> None:
                 f.write("\n")
         except OSError:
             pass  # a read-only checkout must not fail the bench
+    # The driver records only a fixed-size stdout TAIL: a full result line
+    # (~4 KB with the embedded per-leg A/B) gets its HEAD truncated and
+    # BENCH_r{N}.json lands with "parsed": null (rounds 3 and 4). Print the
+    # full record first (humans / grep), then a COMPACT summary as the
+    # FINAL line — small enough to always survive the tail window — with
+    # "full" pointing at the durable BENCH/last_run.json artifact.
     print(json.dumps(out))
+
+    def _mode_summary(d):
+        if d is None:
+            return None
+        return {
+            k: d[k]
+            for k in (
+                "events_per_sec",
+                "sustained_events_per_sec",
+                "equality_pass",
+                "seconds",
+            )
+            if k in d
+        }
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": out["cpus"],
+        "modes": out["modes"],
+        "cdc": _mode_summary(cdc),
+        "cdc_mor": _mode_summary(cdc_mor),
+        "full": "BENCH/last_run.json",
+    }
+    ab = out.get("ab")
+    if ab:
+        compact["ab"] = {
+            k: ab[k]
+            for k in ("ref", "head", "events", "pairs", "summary")
+            if k in ab
+        }
+    print(json.dumps(compact))
     spark.stop()
 
 

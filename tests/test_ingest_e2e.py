@@ -102,6 +102,7 @@ def test_cow_overcap_observe_control_matches_oracle(spark, feed, tmp_path):
         file_prune_max_keys=0,
         broadcast_max_rows=0,
         merge_hash_prefilter_max_keys=0,
+        merge_bloom_max_keys=0,
     )
     job = CdcIngestJob(spark, feed["dir"], root, cfg)
     results = job.run()
@@ -143,6 +144,34 @@ def test_cow_hash_prefilter_merge_matches_oracle(spark, feed, tmp_path):
         assert m["merge_anti"] == "hash"
     _assert_equal(_engine_state(job), feed["oracle"])
     # fresh process resumes cleanly past hash-regime commits
+    job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
+    assert job2.run() == []
+    _assert_equal(_engine_state(job2), feed["oracle"])
+
+
+def test_cow_bloom_prefilter_merge_matches_oracle(spark, feed, tmp_path):
+    """The FOURTH survivor regime (round-5): key count over BOTH the
+    string-key broadcast cap and the sorted-array hash cap but under the
+    bloom cap → the split probes an EXECUTOR-built bloom blob
+    (operators/merge.build_bloom_filter) and only probable hits pay the
+    exact sliver anti-join. Bloom false positives enlarge the sliver but
+    can never change the result, so the replay must hit the oracle
+    exactly, resumably, with every epoch recording merge_anti="bloom"."""
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(
+        n_buckets=8,
+        epoch_events=400,
+        broadcast_max_rows=0,
+        merge_hash_prefilter_max_keys=0,
+    )
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    results = job.run()
+    assert len(results) > 2
+    for r in results:
+        m = job.table.read_manifest(r["epoch"])["metrics"]
+        assert m["merge_anti"] == "bloom"
+    _assert_equal(_engine_state(job), feed["oracle"])
+    # fresh process resumes cleanly past bloom-regime commits
     job2 = CdcIngestJob(spark, feed["dir"], root, cfg)
     assert job2.run() == []
     _assert_equal(_engine_state(job2), feed["oracle"])

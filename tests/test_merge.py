@@ -139,17 +139,102 @@ def test_hash_prefilter_exact_under_forced_collisions(spark):
 def test_hash_prefilter_plan_probes_arrow_side(spark):
     """The middle regime's plan: the batch key hashes ship as a sorted
     numpy array (8 bytes/key — a JVM broadcast-join relation at the same
-    key count OOM'd 6 GiB executors) probed by ONE Arrow-batched pandas
+    key count OOM'd 6 GiB executors) probed by an Arrow-batched pandas
     UDF; the kept_direct branch is scan→probe→filter with no join or
     exchange at all, and the only join left is the candidate sliver vs
-    the narrow key set."""
+    the narrow key set. The split consumes the probed snapshot TWICE
+    (kept_direct + candidates), so the plan carries exactly TWO
+    ArrowEvalPython nodes — a deliberate double scan (persisting the full
+    snapshot payload costs more than the second column-pruned scan +
+    ~0.6 µs/row probe; the regime's 1.57-1.59x A/B receipts were measured
+    with it), pinned here so a silent third eval or a fused single eval
+    both fail loudly (ADVICE r4)."""
     snap = _snap(spark, [(f"c{i}", 0, "x") for i in range(8)])
     batch = _batch(spark, [(1, "U", "c1", 0, "y"), (2, "I", "c9", 0, "z")])
     out = merge_apply(snap, batch, hash_prefilter=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "_in_hash_set" in plan, plan  # the probe survives optimization
-    assert "ArrowEvalPython" in plan, plan  # ...as ONE Arrow-batched eval
+    assert "_in_key_set" in plan, plan  # the probe survives optimization
+    assert plan.count("ArrowEvalPython") == 2, plan  # one eval per branch
     assert "LeftAnti" in plan, plan  # the exact sliver anti join
     # the full snapshot payload is never sort-merge-exchanged: at most
     # the candidate sliver joins the narrow key set
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_bloom_prefilter_same_result(spark):
+    snap = [(f"c{i}", j, f"t{i}.{j}") for i in range(40) for j in range(3)]
+    batch = (
+        [(100 + i, "U", f"c{i}", 0, f"new{i}") for i in range(0, 40, 3)]
+        + [(200 + i, "D", f"c{i}", 1, None) for i in range(0, 40, 5)]
+        + [(300, "I", "cx", 7, "ins")]
+    )
+    base = _apply(spark, snap, batch)
+    assert (
+        _apply(spark, snap, batch, bloom_prefilter=True, expected_keys=30)
+        == base
+    )
+
+
+def test_bloom_prefilter_exact_under_forced_collisions(spark):
+    """Bloom-regime exactness for ANY hash: a weak (2-valued) key hash
+    saturates the filter so nearly every snapshot row becomes a probable
+    hit — the candidate sliver degenerates toward the full snapshot, but
+    the exact anti-join keeps the result identical to the baseline."""
+    from pyspark.sql import functions as F
+
+    snap = [(f"c{i}", j, f"t{i}.{j}") for i in range(60) for j in range(2)]
+    batch = [(100 + i, "U", f"c{i}", 0, f"new{i}") for i in range(0, 60, 4)]
+    base = _apply(spark, snap, batch)
+    weak = F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(2))
+    assert (
+        _apply(
+            spark,
+            snap,
+            batch,
+            bloom_prefilter=True,
+            expected_keys=15,
+            prefilter_hash=weak,
+        )
+        == base
+    )
+
+
+def test_bloom_prefilter_empty_batch_keeps_snapshot(spark):
+    snap = [(f"c{i}", 0, "keep") for i in range(5)]
+    out = _apply(spark, snap, [], bloom_prefilter=True, expected_keys=0)
+    assert out == {(f"c{i}", 0): "keep" for i in range(5)}
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    """The one property bloom correctness rests on: every inserted hash
+    probes positive (misses may only happen for non-members)."""
+    import numpy as np
+
+    from transcript_cdc.operators.merge import (
+        _bloom_test_bits,
+        build_bloom_filter,
+    )
+
+    df = spark.range(0, 5000).selectExpr("xxhash64(id) AS __kh")
+    words, m_bits = build_bloom_filter(df, expected_keys=5000)
+    v = (
+        df.toPandas()["__kh"].to_numpy().astype(np.int64).view(np.uint64)
+    )
+    assert _bloom_test_bits(words, v, m_bits).all()
+    # and the fpp on disjoint probes is in the designed ballpark (<2%)
+    probe = np.arange(10_000_000, 10_050_000, dtype=np.int64).view(np.uint64)
+    fpp = _bloom_test_bits(words, probe, m_bits).mean()
+    assert fpp < 0.02, fpp
+
+
+def test_bloom_prefilter_plan_shape(spark):
+    """Same split plan as the hash regime, bloom-backed: two Arrow probe
+    branches, one sliver anti-join, never a full-snapshot SMJ pair."""
+    snap = _snap(spark, [(f"c{i}", 0, "x") for i in range(8)])
+    batch = _batch(spark, [(1, "U", "c1", 0, "y"), (2, "I", "c9", 0, "z")])
+    out = merge_apply(snap, batch, bloom_prefilter=True, expected_keys=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_in_key_set" in plan, plan
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "LeftAnti" in plan, plan
     assert plan.count("SortMergeJoin") <= 1, plan

@@ -21,6 +21,9 @@ same exchange (operators/dedup.lww_dedup_clustered). COW epochs:
                                     keys ≤ merge_hash_prefilter_max_keys →
                                     broadcast distinct key-HASH longs, only
                                     hash-hit rows pay the exact SMJ;
+                                    keys ≤ merge_bloom_max_keys → same
+                                    split over an EXECUTOR-built bloom
+                                    blob at 1.5 B/key;
                                     beyond → full SMJ). Hot files = the
                                     manifest's per-file key-range stats ∩
                                     this batch's key set (plan_cow_merge);
@@ -63,7 +66,11 @@ from pyspark.sql import functions as F
 from transcript_cdc import schemas
 from transcript_cdc.functions.normalize import normalize_text, normalize_text_sql
 from transcript_cdc.operators.dedup import lww_dedup, lww_dedup_clustered
-from transcript_cdc.operators.merge import merge_apply, survivors_anti_join
+from transcript_cdc.operators.merge import (
+    merge_apply,
+    release_prefilter_broadcasts,
+    survivors_anti_join,
+)
 from transcript_cdc.plans.control import JobControl, job_group
 from transcript_cdc.operators.rangewrite import (
     assign_range_partition,
@@ -96,13 +103,25 @@ class IngestConfig:
     # survivors_anti_join): when the epoch's key count exceeds
     # broadcast_max_rows (full string keys won't fit executor memory —
     # a raised string cap OOM-looped 6 GiB executors, CHANGES_r4.md #20)
-    # but stays under this bound, broadcast the DISTINCT xxhash64(key)
-    # longs instead (~50 bytes/key in the LongHashedRelation) and let the
-    # hash split route provably-untouched snapshot rows around the
-    # sort-merge anti join — only the hash hits pay the exact SMJ. 16M
-    # keys ≈ 0.8 GB relation: sized for the 6 GiB single-core executors
-    # of the scaling protocol; raise it with executor memory.
+    # but stays under this bound, ship the DISTINCT xxhash64(key) longs as
+    # a SORTED numpy int64 array over sc.broadcast — exactly 8 bytes/key
+    # on the driver and on each executor (16M keys = 128 MB; the ~100+
+    # bytes/key JVM LongHashedRelation alternative was built and
+    # OOM-rejected, CHANGES_r4.md #20) — and let the searchsorted probe
+    # route provably-untouched snapshot rows around the sort-merge anti
+    # join; only the hash hits pay the exact SMJ. Size against 8 B/key
+    # driver+executor headroom when raising it. Past this bound the BLOOM
+    # regime takes over (merge_bloom_max_keys below).
     merge_hash_prefilter_max_keys: int = 16_000_000
+    # Fourth survivor regime (round-5): past the sorted-array cap, build a
+    # BLOOM filter over the batch's distinct key hashes EXECUTOR-SIDE
+    # (per-partition numpy bitmaps OR-combined in a tree — the driver only
+    # ever holds the final blob) and probe it in the same Arrow-batched
+    # split. At BLOOM_BITS_PER_KEY=12 the blob costs 1.5 bytes/key —
+    # 128M keys = 192 MB, ~6.7x the sorted array's reach at the same
+    # footprint — and false positives only enlarge the exact-SMJ sliver
+    # (never a wrong result). 0 disables the regime.
+    merge_bloom_max_keys: int = 128_000_000
     # True → exact in-epoch heavy-hitter probe (one extra Spark job per
     # epoch, per-key counts in the manifest). Default: salt from the
     # previous manifest's bucket_rows (lagged_salt) — zero extra jobs.
@@ -667,8 +686,19 @@ class CdcIngestJob:
                 not bc_keys
                 and n_keys <= self.cfg.merge_hash_prefilter_max_keys
             )
+            bloom_pre = (
+                not bc_keys
+                and not hash_pre
+                and 0 < n_keys <= self.cfg.merge_bloom_max_keys
+            )
             merge_anti = (
-                "broadcast" if bc_keys else "hash" if hash_pre else "smj"
+                "broadcast"
+                if bc_keys
+                else "hash"
+                if hash_pre
+                else "bloom"
+                if bloom_pre
+                else "smj"
             )
             if fused:
                 # merge_apply's survivor anti-join, on the deferred-dedup
@@ -683,6 +713,8 @@ class CdcIngestJob:
                     schemas.KEY_COLS,
                     broadcast_keys=bc_keys,
                     hash_prefilter=hash_pre,
+                    bloom_prefilter=bloom_pre,
+                    expected_keys=n_keys,
                 )
                 merged = survivors.unionByName(
                     batch_al, allowMissingColumns=True
@@ -694,6 +726,8 @@ class CdcIngestJob:
                     key_cols=schemas.KEY_COLS,
                     broadcast_batch=bc_keys,
                     hash_prefilter=hash_pre,
+                    bloom_prefilter=bloom_pre,
+                    expected_keys=n_keys,
                 )
             # Re-derive the bucket from conv_id (deterministic), then
             # RANGE-cluster the write on (bucket, key): each output file
@@ -794,6 +828,11 @@ class CdcIngestJob:
             }
         finally:
             batch.unpersist()
+            # The epoch's write is committed (or abandoned) — drop the
+            # hash-prefilter broadcast's executor copies now instead of
+            # waiting for GC-driven ContextCleaner (ADVICE r4: up to
+            # ~128 MB/epoch would otherwise linger nondeterministically).
+            release_prefilter_broadcasts()
 
     def _state_schema(self, batch: DataFrame):
         from pyspark.sql import types as T

@@ -34,6 +34,7 @@ def windowed_op_counts(
     watermark: str = "2 minutes",
     ts_col: str = "ts",
     op_col: str = "op",
+    exact_reach: bool = False,
 ) -> DataFrame:
     """Per-(event-time window, op) change-rate aggregate.
 
@@ -46,20 +47,31 @@ def windowed_op_counts(
     conversation reach is an HLL approximation (approx_count_distinct),
     the streaming-safe distinct aggregate; exact distinct per window
     would require keeping every conv_id in state.
+
+    ``exact_reach=True`` adds ``n_convs`` = exact count(DISTINCT conv_id)
+    — the BATCH-ONLY oracle twin of the HLL column (Structured Streaming
+    rejects distinct aggregates under a watermark, so the live tap keeps
+    the sketch; the batch twin proves the reach metric itself against an
+    exact oracle — round-4 verdict item #5, driver row
+    ``windowed_reach_events``).
     """
     win = F.window(F.col(ts_col), window, slide or window)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("conv_id").alias("approx_convs"),
+    ]
+    if exact_reach:
+        aggs.append(F.countDistinct("conv_id").alias("n_convs"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col(op_col).alias("op"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.approx_count_distinct("conv_id").alias("approx_convs"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "op",
             "n_events",
             "approx_convs",
+            *(["n_convs"] if exact_reach else []),
         )
     )
