@@ -532,3 +532,79 @@ def test_cow_forced_fused_clustered_matches_window_and_oracle(
     # and the estimate lands within HLL tolerance of the exact count
     assert mf[0].get("keys_estimated")
     assert abs(mf[0]["keys"] - mw[0]["keys"]) <= max(5, mw[0]["keys"] * 0.05)
+
+
+def test_mor_pipelined_kill_resume_and_matches_serial(spark, feed, tmp_path):
+    """Pipelined MOR loop (cfg.pipeline_epochs — the default): same final
+    state as the serial loop and the oracle; a kill after 2 epochs resumes
+    exactly (manifests commit strictly in epoch order on the driver
+    thread, so the ledger never has gaps even though data-file writes
+    overlap the next epoch's planning)."""
+    root_p = str(tmp_path / "pipelined")
+    cfg_p = IngestConfig(n_buckets=8, epoch_events=300, storage="mor")
+    assert cfg_p.pipeline_epochs  # pinned default
+    job = CdcIngestJob(spark, feed["dir"], root_p, cfg_p)
+    r1 = job.run(max_epochs=2)  # "crash" mid-replay
+    assert [r["epoch"] for r in r1] == [0, 1]
+    assert all(r["committed"] for r in r1)
+    job2 = CdcIngestJob(spark, feed["dir"], root_p, cfg_p)
+    assert job2.resume_point()[0] == 2
+    r2 = job2.run()
+    assert all(r["committed"] for r in r2)
+    _assert_equal(_engine_state(job2), feed["oracle"])
+    # serial twin on a fresh root: identical epoch sequence, same state
+    root_s = str(tmp_path / "serial")
+    cfg_s = IngestConfig(
+        n_buckets=8, epoch_events=300, storage="mor", pipeline_epochs=False
+    )
+    job_s = CdcIngestJob(spark, feed["dir"], root_s, cfg_s)
+    rs = job_s.run()
+    assert [r["epoch"] for r in rs] == [r["epoch"] for r in r1 + r2]
+    _assert_equal(_engine_state(job_s), feed["oracle"])
+
+
+def test_mor_pipelined_commit_reevolves_schema(spark, feed, tmp_path):
+    """The pipelined commit's schema guard: epoch 1 is PLANNED before
+    epoch 0 (which introduces column 'extra') commits — committing epoch
+    1's plan-time schema verbatim would REGRESS the table schema. The
+    guard re-evolves against the current schema at commit time; epoch 1's
+    delta files simply lack the column and the fold null-fills them."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "table")
+    job = CdcIngestJob(
+        spark,
+        feed["dir"],
+        root,
+        IngestConfig(n_buckets=4, epoch_events=10, storage="mor"),
+    )
+    ddl = (
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp"
+    )
+    raw0 = spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "hello", None, None)], ddl
+    ).withColumn("extra", F.lit("x"))
+    raw1 = spark.createDataFrame(
+        [(2, "I", "c2", 0, "user", "world", None, None)], ddl
+    )
+    # plan epoch 1 BEFORE epoch 0 commits (the pipelined interleaving)
+    p1 = job._plan_epoch_mor(1, 1, 2, raw1, _t.time())
+    r0 = job._run_epoch_mor(0, 0, 1, raw0, _t.time())
+    assert r0["committed"]
+    assert "extra" in [f.name for f in job.table.current_schema().fields]
+    pre = job._write_planned(p1)
+    res = job._commit_planned_mor(p1, pre_written=pre)
+    assert res["committed"]
+    assert "extra" in [f.name for f in job.table.current_schema().fields]
+    pdf = (
+        job.final_state()
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert pdf["text"].tolist() == ["hello", "world"]
+    extra = pdf["extra"].where(pdf["extra"].notna(), None).tolist()
+    assert extra == ["x", None]

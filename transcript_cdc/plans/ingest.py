@@ -131,6 +131,21 @@ class IngestConfig:
     # "mor": per-epoch delta append + LWW fold at read (write-optimized —
     #        the Iceberg-v2 upsert shape for high-update feeds).
     storage: str = "cow"
+    # Pipelined MOR epoch loop (round-5, verdict #4): run epoch k's write
+    # action on a worker thread while the driver PLANS epoch k+1 (batch
+    # construction + forced Catalyst analysis) and commits k's manifest —
+    # the 0.55-0.65 s/epoch driver-serial gap (planning + submission +
+    # commit bookkeeping) overlaps the previous epoch's stages instead of
+    # serializing between them. Exactly-once is untouched: data lands in
+    # invisible attempt dirs, manifests commit strictly in epoch order on
+    # the driver thread, and a crash mid-pipeline orphans at most one
+    # uncommitted attempt dir (reclaimed by expire, replayed on resume).
+    # Lag signals (salt, dedup strategy) read the last COMMITTED manifest,
+    # so the predictor runs at lag-2 instead of lag-1 — a heuristics-only
+    # change (mispredicts cost one suboptimal epoch, never a wrong
+    # result). Applies to run() with storage="mor" and compact_every=0
+    # (interleaved compaction commits need the serial ledger walk).
+    pipeline_epochs: bool = True
     compact_every: int = 0  # mor only: auto-compact every K epochs (0 = never)
     # mor only: auto-compaction rewrites ONLY buckets whose delta chain
     # exceeds this many files (Iceberg binpack-style targeted maintenance);
@@ -310,6 +325,12 @@ class CdcIngestJob:
     def _run_epoch_mor(
         self, epoch: int, lsn_lo: int, lsn_hi: int, raw: DataFrame, t0: float
     ) -> dict:
+        planned = self._plan_epoch_mor(epoch, lsn_lo, lsn_hi, raw, t0)
+        return self._commit_planned_mor(planned)
+
+    def _plan_epoch_mor(
+        self, epoch: int, lsn_lo: int, lsn_hi: int, raw: DataFrame, t0: float
+    ) -> dict:
         """Merge-on-read epoch: the dedup'd batch IS the delta (lsn/op kept,
         deletes as tombstones). No snapshot read, no merge join, no rewrite —
         write cost is O(batch) regardless of table size; readers fold LWW.
@@ -439,25 +460,64 @@ class CdcIngestJob:
             "dedup": self._last_dedup_strategy,
             "duration_prepare_s": round(time.time() - t0, 3),
         }
-        committed = self.table.commit_epoch(
-            epoch,
-            new_state,
-            None,  # touched buckets read from the observation post-write
-            lsn_lo,
-            lsn_hi,
-            new_schema,
-            metrics,
-            append=True,
-            observation=obs,
-        )
-        om = obs.get if committed else {}
         return {
             "epoch": epoch,
+            "lsn_lo": lsn_lo,
+            "lsn_hi": lsn_hi,
+            "new_state": new_state,
+            "obs": obs,
+            "metrics": metrics,
+            "schema": new_schema,
+            "salt": salt,
+            "t0": t0,
+        }
+
+    def _write_planned(self, planned: dict):
+        """Worker-thread half of the pipelined epoch: run the write action
+        into an invisible attempt dir (lake.write_epoch_data). Job-group is
+        re-pinned here because Spark local properties are PER PYTHON
+        THREAD — without it, control.cancel_inflight() could not kill a
+        pipelined epoch's jobs (T5)."""
+        sc = self.spark.sparkContext
+        sc.setJobGroup(
+            job_group(self.table.root),
+            f"cdc-ingest {self.table.root}",
+            interruptOnCancel=True,
+        )
+        return self.table.write_epoch_data(planned["epoch"], planned["new_state"])
+
+    def _commit_planned_mor(self, planned: dict, pre_written=None) -> dict:
+        """Commit a planned MOR epoch. ``pre_written`` is the worker
+        thread's (epoch_dir, write_seconds) in pipelined mode — the commit
+        then re-evolves the manifest schema against the CURRENT table
+        schema: epoch k+1 was planned before epoch k committed, so if k
+        evolved the schema, committing k+1's plan-time schema verbatim
+        would REGRESS the table schema (k+1's delta files simply lack the
+        new columns / carry the narrower width — exactly the case the MOR
+        fold already upcasts and null-fills per file)."""
+        schema = planned["schema"]
+        if pre_written is not None:
+            schema = schemas.evolve(self.table.current_schema(), schema)
+        committed = self.table.commit_epoch(
+            planned["epoch"],
+            planned["new_state"],
+            None,  # touched buckets read from the observation post-write
+            planned["lsn_lo"],
+            planned["lsn_hi"],
+            schema,
+            planned["metrics"],
+            append=True,
+            observation=planned["obs"],
+            pre_written=pre_written,
+        )
+        om = planned["obs"].get if committed else {}
+        return {
+            "epoch": planned["epoch"],
             "keys": int(om.get("keys") or 0),
             "touched_buckets": len(om.get("buckets") or []),
-            "salt": salt,
+            "salt": planned["salt"],
             "committed": committed,
-            "seconds": round(time.time() - t0, 3),
+            "seconds": round(time.time() - planned["t0"], 3),
         }
 
     def _run_epoch_cow(
@@ -867,6 +927,12 @@ class CdcIngestJob:
         )
         results = []
         feed_max = self.feed.max_lsn() if up_to_lsn is None else up_to_lsn
+        if (
+            self.cfg.storage == "mor"
+            and self.cfg.pipeline_epochs
+            and not self.cfg.compact_every
+        ):
+            return self._run_pipelined_mor(max_epochs, feed_max)
         while True:
             if max_epochs is not None and len(results) >= max_epochs:
                 break
@@ -891,6 +957,74 @@ class CdcIngestJob:
                     # The compaction epoch replaced every bucket, so all
                     # older delta/base generations are now unreferenced.
                     self.table.expire()
+        return results
+
+    def _run_pipelined_mor(self, max_epochs: int | None, feed_max: int) -> list[dict]:
+        """The pipelined MOR epoch loop (cfg.pipeline_epochs).
+
+        Software pipeline, depth 1, three overlapped lanes per epoch k:
+
+          worker thread : write k's data files (the Spark action)
+          driver, during: PLAN k+1 — read_range → dedup/salt/normalize plan
+                          → forced Catalyst analysis (the analyzed plan is
+                          what the write command wraps, so the write's own
+                          planning step starts from a warm tree)
+          driver, after : submit k+1's write, THEN commit k's manifest —
+                          the manifest/footer-stat bookkeeping overlaps
+                          k+1's in-worker command planning and first stages
+
+        Commit ORDER stays strictly sequential (manifest k before manifest
+        k+1, both on the driver thread), which is what resume_point() and
+        the exactly-once guarantees key on; only data-file writes overlap.
+        Epoch ids and LSN windows advance locally instead of re-reading the
+        ledger (safe: this path excludes interleaved compaction commits —
+        cfg.compact_every forces the serial loop). A stop request drains
+        exactly the in-flight epoch: the next epoch is never PLANNED once
+        should_stop() is observed."""
+        results: list[dict] = []
+        epoch, lsn_hi = self.resume_point()
+        if lsn_hi >= feed_max or self.control.should_stop():
+            return results
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-write")
+        try:
+            nxt = min(lsn_hi + self.cfg.epoch_events, feed_max)
+            planned = self._plan_epoch_mor(
+                epoch, lsn_hi, nxt, self.feed.read_range(lsn_hi, nxt), time.time()
+            )
+            fut = pool.submit(self._write_planned, planned)
+            while True:
+                nplanned = None
+                if (
+                    (max_epochs is None or len(results) + 1 < max_epochs)
+                    and planned["lsn_hi"] < feed_max
+                    and not self.control.should_stop()
+                ):
+                    lo2 = planned["lsn_hi"]
+                    hi2 = min(lo2 + self.cfg.epoch_events, feed_max)
+                    nplanned = self._plan_epoch_mor(
+                        planned["epoch"] + 1,
+                        lo2,
+                        hi2,
+                        self.feed.read_range(lo2, hi2),
+                        time.time(),
+                    )
+                    # Pre-pay analysis while epoch k's stages run; the
+                    # write command wraps this DataFrame's ANALYZED plan.
+                    nplanned["new_state"]._jdf.queryExecution().analyzed()
+                pre = fut.result()
+                nfut = (
+                    pool.submit(self._write_planned, nplanned)
+                    if nplanned is not None
+                    else None
+                )
+                results.append(self._commit_planned_mor(planned, pre_written=pre))
+                if nplanned is None:
+                    break
+                planned, fut = nplanned, nfut
+        finally:
+            pool.shutdown(wait=True)
         return results
 
     # ---------- reads ----------

@@ -608,6 +608,29 @@ class ParquetSnapshotTable:
     def is_committed(self, epoch: int) -> bool:
         return os.path.exists(self._manifest_path(epoch))
 
+    def write_epoch_data(self, epoch: int, new_state: DataFrame) -> tuple[str, float]:
+        """Run the epoch's write action into a fresh attempt dir; returns
+        (epoch_dir, write_seconds). No manifest is written — the data stays
+        invisible until :meth:`commit_epoch` publishes it (pass the return
+        value as ``pre_written``). Unique attempt dir: concurrent or crashed
+        attempts never share paths, so a racing committer cannot clobber the
+        files the winning manifest references — the CAS manifest create in
+        commit_epoch is the only commit point, and it points at THIS
+        attempt's files. Orphaned attempt dirs (crash, or CAS loser) are
+        invisible to every reader (manifest-driven) and reclaimed by
+        expire()."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        epoch_dir = tempfile.mkdtemp(
+            prefix=f"epoch={epoch:010d}-", dir=self.data_dir
+        )
+        t0 = time.time()
+        (
+            new_state.write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(epoch_dir)
+        )
+        return epoch_dir, time.time() - t0
+
     def commit_epoch(
         self,
         epoch: int,
@@ -621,6 +644,7 @@ class ParquetSnapshotTable:
         kept_files: dict[str, list[str]] | None = None,
         observation=None,
         replace_all: bool = False,
+        pre_written: tuple[str, float] | None = None,
     ) -> bool:
         """Write the new state of the touched buckets and commit atomically.
 
@@ -646,28 +670,22 @@ class ParquetSnapshotTable:
         ``touched_buckets`` is None — the touched-bucket list are read from
         it AFTER the write: the write job computes them as a side effect,
         so committing an epoch needs NO separate driver round trips.
+
+        ``pre_written``: (epoch_dir, write_seconds) from a prior
+        :meth:`write_epoch_data` call — the pipelined epoch loop runs the
+        write action on a worker thread while the driver plans the next
+        epoch, then commits here without re-writing. The attempt-dir
+        design makes the split crash-safe for free: an epoch whose data
+        landed but whose manifest never did is invisible to every reader
+        and reclaimed by expire().
         """
         if self.is_committed(epoch):
             return False
 
-        # Unique attempt dir: concurrent or crashed attempts never share
-        # paths, so a racing committer cannot clobber the files the winning
-        # manifest references — the CAS manifest create below is the only
-        # commit point, and it points at THIS attempt's files. Orphaned
-        # attempt dirs (crash, or CAS loser) are invisible to every reader
-        # (manifest-driven) and reclaimed by expire().
-        os.makedirs(self.data_dir, exist_ok=True)
-        epoch_dir = tempfile.mkdtemp(
-            prefix=f"epoch={epoch:010d}-", dir=self.data_dir
-        )
-
-        t0 = time.time()
-        (
-            new_state.write.mode("overwrite")
-            .partitionBy(BUCKET_COL)
-            .parquet(epoch_dir)
-        )
-        write_s = time.time() - t0
+        if pre_written is not None:
+            epoch_dir, write_s = pre_written
+        else:
+            epoch_dir, write_s = self.write_epoch_data(epoch, new_state)
 
         if observation is not None:
             om = observation.get  # resolved: the write job just ran the plan
