@@ -112,12 +112,18 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
         # burstable host, running them between the timed sections drains
         # the CPU budget that the second mode's timing then pays for.
         timed: dict[str, tuple] = {}
+        # BENCH_CDC_INGEST_CONF: JSON dict of IngestConfig overrides —
+        # lets config A/Bs (bloom vs smj survivor regime, pipeline on/off)
+        # reuse the whole pinned-subprocess leg machinery (bench/ab.py,
+        # bench/bloom_ab.py) without code forks.
+        ing_over = json.loads(os.environ.get("BENCH_CDC_INGEST_CONF", "{}"))
         for mode in modes:
             cfg = IngestConfig(
                 n_buckets=32,
                 epoch_events=max(1, n // epochs + 1),
                 write_partitions=shuffle_p,
                 storage=mode,
+                **ing_over,
             )
             table_root = os.path.join(work, f"table_{mode}")
             t0 = time.time()
@@ -211,6 +217,21 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
                 # per-epoch wall: flat ⇒ epoch cost tracks batch size, not
                 # table size (the file-granular COW / delta-append claim)
                 "epoch_seconds": [r.get("seconds") for r in results],
+                # per-epoch plan evidence straight from the manifests (which
+                # survivor regime / control path / dedup strategy actually
+                # fired — the bloom A/B's "regime survived" receipt)
+                "epoch_plan": [
+                    {
+                        k: m.get(k)
+                        for k in ("merge_anti", "control", "dedup", "keys")
+                        if m.get(k) is not None
+                    }
+                    for r in results
+                    if r.get("epoch") is not None
+                    for m in [
+                        job.table.read_manifest(r["epoch"]).get("metrics", {})
+                    ]
+                ],
             }
         out["gen_seconds"] = round(gen_s, 3)
         out["oracle_seconds"] = round(orc_s, 3)

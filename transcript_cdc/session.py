@@ -104,6 +104,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_EXTRA_CONF: ';'-separated k=v pairs applied LAST — lets
+    # pinned-subprocess bench legs A/B spark confs (e.g. the shuffle codec)
+    # without a code fork. ';' because conf values may contain commas.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if pair.strip():
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     if ship_package:
         spark.sparkContext.addPyFile(_package_zip())
