@@ -563,6 +563,29 @@ def test_mor_pipelined_kill_resume_and_matches_serial(spark, feed, tmp_path):
     _assert_equal(_engine_state(job_s), feed["oracle"])
 
 
+def test_mor_pipelined_epoch_seconds_sum_to_wall(spark, feed, tmp_path):
+    """Pipelined per-epoch `seconds` are commit-to-commit deltas: they
+    must sum to ≈ the loop's wall, never above it. (Regression: epoch
+    k+1's plan-time t0 was stamped while epoch k's write still ran, so
+    `now - t0` double-counted the overlap — summed epoch seconds exceeded
+    wall and bench.py's sustained figure, derived from per-epoch seconds,
+    UNDERSTATED throughput on exactly the runs pipelining speeds up.)"""
+    import time as _time
+
+    cfg = IngestConfig(n_buckets=8, epoch_events=250, storage="mor")
+    assert cfg.pipeline_epochs
+    job = CdcIngestJob(spark, feed["dir"], str(tmp_path / "t"), cfg)
+    t0 = _time.time()
+    res = job.run()
+    wall = _time.time() - t0
+    assert len(res) >= 3  # needs ≥2 overlapped epochs to catch the bug
+    assert all(r["seconds"] > 0 for r in res)
+    # strictly-ordered commits ⇒ deltas can't exceed wall (tiny epsilon
+    # for the pre-loop resume_point/feed-max reads outside t_prev)
+    assert sum(r["seconds"] for r in res) <= wall + 0.05
+    _assert_equal(_engine_state(job), feed["oracle"])
+
+
 def test_mor_pipelined_commit_reevolves_schema(spark, feed, tmp_path):
     """The pipelined commit's schema guard: epoch 1 is PLANNED before
     epoch 0 (which introduces column 'extra') commits — committing epoch

@@ -989,6 +989,14 @@ class CdcIngestJob:
 
         pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="cdc-write")
         try:
+            # Epoch walls are attributed commit-to-commit: epoch k+1's
+            # plan-time t0 is stamped WHILE epoch k's write is still
+            # running, so `now - t0` would double-count the overlap
+            # (summing above the loop's wall and understating the
+            # sustained figure bench.py derives from per-epoch seconds).
+            # Deltas between successive commit completions sum exactly to
+            # the loop wall — the honest cadence of a pipelined loop.
+            t_prev = time.time()
             nxt = min(lsn_hi + self.cfg.epoch_events, feed_max)
             planned = self._plan_epoch_mor(
                 epoch, lsn_hi, nxt, self.feed.read_range(lsn_hi, nxt), time.time()
@@ -1019,7 +1027,11 @@ class CdcIngestJob:
                     if nplanned is not None
                     else None
                 )
-                results.append(self._commit_planned_mor(planned, pre_written=pre))
+                res = self._commit_planned_mor(planned, pre_written=pre)
+                now = time.time()
+                res["seconds"] = round(now - t_prev, 3)
+                t_prev = now
+                results.append(res)
                 if nplanned is None:
                     break
                 planned, fut = nplanned, nfut
