@@ -101,6 +101,10 @@ def parse_eventlog(path: str) -> dict:
         "shuffle_wait": 0.0, "shuffle_write": 0.0,
         "deser": 0.0, "result_ser": 0.0, "n_tasks": 0,
         "mem_spilled": 0, "disk_spilled": 0,
+        # byte counters: deterministic (host-weather-free) receipts for
+        # codec/byte-reduction A/Bs — compressed shuffle bytes on the wire
+        "shuffle_bytes_written": 0, "shuffle_bytes_read": 0,
+        "input_bytes": 0, "output_bytes": 0,
     }
     # Spark 4 rolling logs: eventlog_v2_<appid>/events_*; classic: one file
     if os.path.isdir(path):
@@ -135,6 +139,19 @@ def parse_eventlog(path: str) -> dict:
             agg["shuffle_write"] += (m.get("Shuffle Write Metrics") or {}).get(
                 "Shuffle Write Time", 0
             ) / 1e6
+            agg["shuffle_bytes_written"] += (
+                m.get("Shuffle Write Metrics") or {}
+            ).get("Shuffle Bytes Written", 0)
+            srm = m.get("Shuffle Read Metrics") or {}
+            agg["shuffle_bytes_read"] += srm.get(
+                "Local Bytes Read", 0
+            ) + srm.get("Remote Bytes Read", 0)
+            agg["input_bytes"] += (m.get("Input Metrics") or {}).get(
+                "Bytes Read", 0
+            )
+            agg["output_bytes"] += (m.get("Output Metrics") or {}).get(
+                "Bytes Written", 0
+            )
             agg["deser"] += m.get("Executor Deserialize Time", 0)
             agg["result_ser"] += m.get("Result Serialization Time", 0)
             agg["mem_spilled"] += m.get("Memory Bytes Spilled", 0)
@@ -268,6 +285,10 @@ def main() -> None:
             "shuffle_write_s": round(agg["shuffle_write"] / 1000, 2),
             "deser_s": round(agg["deser"] / 1000, 2),
             "sched_gap_s": round((wall_ms - agg.get("stage_covered", 0)) / 1000, 2),
+            "shuffle_mb_written": round(agg["shuffle_bytes_written"] / 1e6, 1),
+            "shuffle_mb_read": round(agg["shuffle_bytes_read"] / 1e6, 1),
+            "input_mb": round(agg["input_bytes"] / 1e6, 1),
+            "output_mb": round(agg["output_bytes"] / 1e6, 1),
             "spill_mb": round(agg["mem_spilled"] / 1e6),
             "spill_disk_mb": round(agg["disk_spilled"] / 1e6),
             "n_tasks": agg["n_tasks"],

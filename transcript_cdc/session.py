@@ -95,6 +95,17 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Shuffle/broadcast/spill codec: zstd over the lz4 default. The
+        # replay's shuffles carry wide text payloads that zstd compresses
+        # ~2x better — measured on the engine's own event logs (4M-event
+        # epochs, identical task DAG, byte counts are deterministic):
+        # COW 386→211 MB (-45%), MOR 241→128 MB (-47%) shuffle bytes for
+        # +3% / -10% task CPU, wall at parity locally (tmpfs shuffle) and
+        # a +14-26% interleaved wall median at local[8]
+        # (bench/ab_result_conf_zstd*.json). On a real N-executor cluster
+        # shuffle bytes cross the NETWORK, so the byte cut is the term
+        # that scales; lz4 remains one SPARK_GRAFT_EXTRA_CONF away.
+        .config("spark.io.compression.codec", "zstd")
         # Shuffle/spill scratch: node-local fast storage. On a cluster each
         # executor gets its own NVMe (bandwidth scales with nodes); this
         # sandbox's root disk writes at ~8 MB/s (throttled virtio), so tmpfs
