@@ -354,6 +354,13 @@ def main() -> None:
         return {
             k: d[k]
             for k in (
+                # "events"/"epochs"/"epoch_seconds" stay in the compact
+                # record because the scaling/ab/hostbudget harnesses read
+                # whichever JSON line survives — dropping them here cost a
+                # full scaling run a KeyError at its final report once.
+                "events",
+                "epochs",
+                "epoch_seconds",
                 "events_per_sec",
                 "sustained_events_per_sec",
                 "equality_pass",

@@ -94,7 +94,11 @@ def run_leg(repo_dir: str, cores: int, events: int, feed_dir: str,
         cwd=repo_dir, env=env, capture_output=True, text=True, check=True,
         preexec_fn=_pin,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    # longest JSON line = the full record (head's bench.py also prints a
+    # compact trailing summary; ref legs may print only the full record)
+    line = max(
+        (ln for ln in out.stdout.splitlines() if ln.startswith("{")), key=len
+    )
     res = json.loads(line)
     leg = {"wall_s": round(time.time() - t0, 1)}
     for mode_key, out_key in (("cdc", "cow"), ("cdc_mor", "mor")):

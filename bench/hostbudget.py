@@ -73,7 +73,10 @@ def _launch(cpu: int, events: int, feed: str) -> subprocess.Popen:
 
 
 def _eps(stdout: str) -> float:
-    line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
+    # longest JSON line = bench.py's full record (a compact summary follows)
+    line = max(
+        (ln for ln in stdout.splitlines() if ln.startswith("{")), key=len
+    )
     m = json.loads(line)["cdc_mor"]
     return m.get("sustained_events_per_sec") or m["events_per_sec"]
 

@@ -242,7 +242,12 @@ def run_level(
         )
         if attempt == 3:
             raise RuntimeError(f"bench.py leg failed 3x (cores={cores})")
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    # bench.py prints the FULL record then a compact summary (round-5
+    # driver-capture fix): take the longest JSON line — the full record —
+    # so per-mode fields like epoch_seconds survive into the leg records.
+    line = max(
+        (l for l in out.stdout.splitlines() if l.startswith("{")), key=len
+    )
     res = json.loads(line)
     res["probe_before"] = probe
     label = (
