@@ -106,6 +106,18 @@ def get_spark(
         # shuffle bytes cross the NETWORK, so the byte cut is the term
         # that scales; lz4 remains one SPARK_GRAFT_EXTRA_CONF away.
         .config("spark.io.compression.codec", "zstd")
+        # Lake/WAL parquet codec: zstd over the snappy default — the same
+        # bytes-for-CPU trade as the shuffle codec, decided on the same
+        # deterministic event-log receipt (4M-event epochs, identical task
+        # DAG, bench/profile_pq_zstd_r5.json): data-file output bytes
+        # COW 88.9→60.5 MB (-32%), MOR 70.8→40.7 MB (-43%) for +7% / +5%
+        # task CPU, wall +4-7% locally. At 100 TB, lake files are written
+        # over the network, replicated, stored, and RE-READ by every
+        # subsequent COW epoch / MOR fold / query scan — stored bytes are
+        # the term that scales, and zstd is the lakehouse-format default
+        # for exactly this reason. snappy is one SPARK_GRAFT_EXTRA_CONF
+        # away.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Shuffle/spill scratch: node-local fast storage. On a cluster each
         # executor gets its own NVMe (bandwidth scales with nodes); this
         # sandbox's root disk writes at ~8 MB/s (throttled virtio), so tmpfs
