@@ -118,13 +118,17 @@ def run_cdc_replay(spark, n_events_target: int, epochs: int = 4, modes=("cow", "
         # bench/bloom_ab.py) without code forks.
         ing_over = json.loads(os.environ.get("BENCH_CDC_INGEST_CONF", "{}"))
         for mode in modes:
-            cfg = IngestConfig(
+            # Overrides win over the bench defaults (passing both to the
+            # constructor would TypeError on n_buckets/epoch_events/...);
+            # storage stays loop-owned — the cow/mor split IS the bench.
+            cfg_kw = dict(
                 n_buckets=32,
                 epoch_events=max(1, n // epochs + 1),
                 write_partitions=shuffle_p,
-                storage=mode,
-                **ing_over,
             )
+            cfg_kw.update(ing_over)
+            cfg_kw["storage"] = mode
+            cfg = IngestConfig(**cfg_kw)
             table_root = os.path.join(work, f"table_{mode}")
             t0 = time.time()
             job = CdcIngestJob(spark, feed_dir, table_root, cfg)

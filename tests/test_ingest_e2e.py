@@ -534,6 +534,22 @@ def test_cow_forced_fused_clustered_matches_window_and_oracle(
     assert abs(mf[0]["keys"] - mw[0]["keys"]) <= max(5, mw[0]["keys"] * 0.05)
 
 
+def test_mor_pipelined_max_epochs_zero_is_noop(spark, feed, tmp_path):
+    """Serial-loop parity at the budget edge: run(max_epochs=0) must do
+    NOTHING in the pipelined loop too. (Regression: the pipelined loop
+    planned+wrote+committed epoch 0 unconditionally — its in-loop guard
+    only gated planning the NEXT epoch — so a caller whose remaining-epoch
+    budget reached 0 silently ingested one extra epoch.)"""
+    root = str(tmp_path / "table")
+    cfg = IngestConfig(n_buckets=8, epoch_events=300, storage="mor")
+    assert cfg.pipeline_epochs
+    job = CdcIngestJob(spark, feed["dir"], root, cfg)
+    before = job.resume_point()
+    assert job.run(max_epochs=0) == []
+    assert job.resume_point() == before
+    assert glob.glob(os.path.join(root, "_commits", "epoch=*.json")) == []
+
+
 def test_mor_pipelined_kill_resume_and_matches_serial(spark, feed, tmp_path):
     """Pipelined MOR loop (cfg.pipeline_epochs — the default): same final
     state as the serial loop and the oracle; a kill after 2 epochs resumes

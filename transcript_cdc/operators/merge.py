@@ -92,20 +92,19 @@ def _bloom_m_bits(expected_keys: int) -> int:
     return 1 << (target - 1).bit_length()
 
 
-def _bloom_set_bits(words: np.ndarray, v: np.ndarray, m_bits: int) -> None:
-    """OR k=BLOOM_NUM_HASHES double-hashed bits for hashes ``v`` (uint64)
-    into ``words`` (uint64 bitmap). Build uses a transient BYTE map +
-    packbits — fancy byte assignment is ~70x faster than bitwise_or.at
-    and ~70x faster than sort+reduceat at 5M keys (measured on this
+def _bloom_mark_bytes(bytemap: np.ndarray, v: np.ndarray, m_bits: int) -> None:
+    """Mark k=BLOOM_NUM_HASHES double-hashed positions for hashes ``v``
+    (uint64) in a one-byte-per-bit map. The BYTE map + one final packbits
+    (in the caller, once per partition — not per Arrow batch, which would
+    make the build O(n_batches * m_bits)) is ~70x faster than
+    bitwise_or.at and sort+reduceat at 5M keys (measured on this
     container) at the cost of m_bits transient bytes per build task
     (12 B/key — size merge_bloom_max_keys against executor memory)."""
     mask = np.uint64(m_bits - 1)
     h2 = (v >> np.uint64(33)) | np.uint64(1)
-    bytemap = np.zeros(m_bits, dtype=np.uint8)
     for i in range(BLOOM_NUM_HASHES):
         idx = (v + np.uint64(i) * h2) & mask
         bytemap[idx] = 1
-    words |= np.packbits(bytemap, bitorder="little").view(np.uint64)
 
 
 def _bloom_test_bits(words: np.ndarray, v: np.ndarray, m_bits: int) -> np.ndarray:
@@ -139,12 +138,17 @@ def build_bloom_filter(hashes_df: DataFrame, expected_keys: int) -> tuple:
     m_bits = _bloom_m_bits(expected_keys)
 
     def gen(batches):
-        words = np.zeros(m_bits >> 6, dtype=np.uint64)
+        # One partition-scoped byte map, packed to bits ONCE after all
+        # batches fold in: per-batch packbits over the full bitmap would
+        # cost O(n_batches * m_bits) — at the 128M-key cap that is a 2 GiB
+        # memset+pack per ~10k-row Arrow batch.
+        bytemap = np.zeros(m_bits, dtype=np.uint8)
         for b in batches:
             v = b.column(0).to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             ).view(np.uint64)
-            _bloom_set_bits(words, v, m_bits)
+            _bloom_mark_bytes(bytemap, v, m_bits)
+        words = np.packbits(bytemap, bitorder="little").view(np.uint64)
         yield pa.RecordBatch.from_arrays(
             [pa.array([words.tobytes()], type=pa.binary())], ["bm"]
         )
@@ -286,7 +290,7 @@ def survivors_anti_join(
     # The split below consumes snap_h TWICE (kept_direct + candidates), so
     # the snapshot scan and the one-int64-column probe UDF each run twice
     # in the physical plan (two ArrowEvalPython nodes — pinned in
-    # tests/test_plans.py). Deliberate: persisting the full snapshot
+    # tests/test_merge.py). Deliberate: persisting the full snapshot
     # payload to dedupe the branches costs more memory than the second
     # column-pruned scan + probe costs time (the probe is ~0.6 µs/row),
     # and the A/B receipts for this regime (1.57-1.59x at 8M-event epochs,

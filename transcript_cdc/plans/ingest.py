@@ -982,6 +982,10 @@ class CdcIngestJob:
         exactly the in-flight epoch: the next epoch is never PLANNED once
         should_stop() is observed."""
         results: list[dict] = []
+        if max_epochs is not None and max_epochs <= 0:
+            # Serial-loop parity: run(max_epochs=0) is a no-op, not one
+            # epoch (the in-loop guard only gates planning the NEXT one).
+            return results
         epoch, lsn_hi = self.resume_point()
         if lsn_hi >= feed_max or self.control.should_stop():
             return results
