@@ -68,7 +68,9 @@ def pregenerate_low_churn_feed(events: int) -> str:
 
 
 def run_leg(cores: int, feed_dir: str, variant: str) -> dict:
-    ing = {} if variant == "bloom" else {"merge_bloom_max_keys": 0}
+    # Explicit caps both ways: the regime went opt-in (default 0) after
+    # this harness's own post-zstd re-run flipped the verdict.
+    ing = {"merge_bloom_max_keys": 128_000_000 if variant == "bloom" else 0}
     env = dict(os.environ)
     env.update(
         {

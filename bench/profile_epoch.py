@@ -42,6 +42,7 @@ def run_replay(
     topology: str = "threads",
     epochs: int = 2,
     conf: dict[str, str] | None = None,
+    ingest_conf: dict | None = None,
 ) -> dict:
     from transcript_cdc.plans.ingest import CdcIngestJob, IngestConfig
     from transcript_cdc.session import get_spark
@@ -77,7 +78,7 @@ def run_replay(
         pq.ParquetFile(f).metadata.num_rows
         for f in glob.glob(os.path.join(feed_dir, "*.parquet"))
     )
-    cfg = IngestConfig(
+    cfg_kw = dict(
         n_buckets=32,
         epoch_events=n_events // epochs + 1,
         write_partitions=shuffle,
@@ -85,6 +86,8 @@ def run_replay(
         normalize=normalizer != "off",
         arrow_normalizer=normalizer == "arrow",
     )
+    cfg_kw.update(ingest_conf or {})
+    cfg = IngestConfig(**cfg_kw)
     job = CdcIngestJob(spark, feed_dir, os.path.join(work, "t"), cfg)
     t0 = time.time()
     job.run()

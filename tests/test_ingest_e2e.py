@@ -156,13 +156,16 @@ def test_cow_bloom_prefilter_merge_matches_oracle(spark, feed, tmp_path):
     (operators/merge.build_bloom_filter) and only probable hits pay the
     exact sliver anti-join. Bloom false positives enlarge the sliver but
     can never change the result, so the replay must hit the oracle
-    exactly, resumably, with every epoch recording merge_anti="bloom"."""
+    exactly, resumably, with every epoch recording merge_anti="bloom".
+    (The regime is opt-in since the post-zstd A/B reversal — the cap is
+    set explicitly here.)"""
     root = str(tmp_path / "table")
     cfg = IngestConfig(
         n_buckets=8,
         epoch_events=400,
         broadcast_max_rows=0,
         merge_hash_prefilter_max_keys=0,
+        merge_bloom_max_keys=128_000_000,
     )
     job = CdcIngestJob(spark, feed["dir"], root, cfg)
     results = job.run()

@@ -214,9 +214,11 @@ def survivors_anti_join(
       collisions and prove it. NOTE: building the set runs one eager
       (narrow, longs-only) Spark job at plan-construction time; the
       epoch loop calls this on its already-persisted batch.
-    - ``bloom_prefilter`` (round-5): past the sorted array's
-      driver-collect cap, the SAME split probes an EXECUTOR-built bloom
-      filter instead (:func:`build_bloom_filter` — per-partition numpy
+    - ``bloom_prefilter`` (round-5; OPT-IN from the epoch loop — the
+      post-zstd A/B + byte receipt put the SMJ fallback ahead at the
+      measured 18M-key shape, see IngestConfig.merge_bloom_max_keys):
+      past the sorted array's driver-collect cap, the SAME split probes
+      an EXECUTOR-built bloom filter instead (:func:`build_bloom_filter` — per-partition numpy
       bitmaps OR-combined in a depth-2 tree; the driver only holds the
       final blob, 1.5 bytes/key at BLOOM_BITS_PER_KEY=12 vs the array's
       8 — a ~6.7x regime extension at the same footprint, and the build

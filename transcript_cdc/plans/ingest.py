@@ -21,9 +21,11 @@ same exchange (operators/dedup.lww_dedup_clustered). COW epochs:
                                     keys ≤ merge_hash_prefilter_max_keys →
                                     broadcast distinct key-HASH longs, only
                                     hash-hit rows pay the exact SMJ;
-                                    keys ≤ merge_bloom_max_keys → same
-                                    split over an EXECUTOR-built bloom
-                                    blob at 1.5 B/key;
+                                    keys ≤ merge_bloom_max_keys (opt-in,
+                                    default off — the zstd codecs flipped
+                                    its A/B; see the config comment) →
+                                    same split over an EXECUTOR-built
+                                    bloom blob at 1.5 B/key;
                                     beyond → full SMJ). Hot files = the
                                     manifest's per-file key-range stats ∩
                                     this batch's key set (plan_cow_merge);
@@ -110,18 +112,31 @@ class IngestConfig:
     # OOM-rejected, CHANGES_r4.md #20) — and let the searchsorted probe
     # route provably-untouched snapshot rows around the sort-merge anti
     # join; only the hash hits pay the exact SMJ. Size against 8 B/key
-    # driver+executor headroom when raising it. Past this bound the BLOOM
-    # regime takes over (merge_bloom_max_keys below).
+    # driver+executor headroom when raising it. Past this bound the
+    # ladder falls to full SMJ (or the opt-in bloom regime below).
     merge_hash_prefilter_max_keys: int = 16_000_000
-    # Fourth survivor regime (round-5): past the sorted-array cap, build a
-    # BLOOM filter over the batch's distinct key hashes EXECUTOR-SIDE
-    # (per-partition numpy bitmaps OR-combined in a tree — the driver only
-    # ever holds the final blob) and probe it in the same Arrow-batched
-    # split. At BLOOM_BITS_PER_KEY=12 the blob costs 1.5 bytes/key —
-    # 128M keys = 192 MB, ~6.7x the sorted array's reach at the same
-    # footprint — and false positives only enlarge the exact-SMJ sliver
-    # (never a wrong result). 0 disables the regime.
-    merge_bloom_max_keys: int = 128_000_000
+    # Fourth survivor regime (round-5), OPT-IN: past the sorted-array cap,
+    # build a BLOOM filter over the batch's distinct key hashes
+    # EXECUTOR-SIDE (per-partition numpy bitmaps OR-combined in a tree —
+    # the driver only ever holds the final blob, 1.5 bytes/key: 128M keys
+    # = 192 MB, ~6.7x the sorted array's reach at the same footprint) and
+    # probe it in the same Arrow-batched split; false positives only
+    # enlarge the exact-SMJ sliver, never a wrong result. Default 0 = OFF:
+    # with the zstd codecs the regime LOST its own re-run A/B at an
+    # 18M-key epoch (smj merge epoch 75-81s vs bloom 126-135s, both
+    # mirrored pairs, bench/ab_result_bloom.json) and the deterministic
+    # byte receipt says the loss is structural, not weather — bloom pays
+    # +33% input bytes (double snapshot scan) and 1.6x task CPU to save
+    # only 8% shuffle bytes, because the write's range-cluster exchange
+    # dominates shuffle in both variants and zstd already shrank the
+    # SMJ's snapshot exchange (bench/profile_bloom_bytes.json; the
+    # pre-codec-flip A/B it reverses is ab_result_bloom_r5_prebuildfix).
+    # Enable (e.g. 128_000_000) when the deployment inverts the receipt:
+    # network-constrained shuffle, memory-tight executors where the
+    # SMJ sort spills to slow disk (smj spilled 3.0 GB vs bloom 0.4 GB
+    # at the A/B shape — tmpfs hides that cost here), or hot-file row
+    # counts many times the batch key count.
+    merge_bloom_max_keys: int = 0
     # True → exact in-epoch heavy-hitter probe (one extra Spark job per
     # epoch, per-key counts in the manifest). Default: salt from the
     # previous manifest's bucket_rows (lagged_salt) — zero extra jobs.
